@@ -1,0 +1,158 @@
+"""Deterministic synthetic spatial world — the single source of truth.
+
+The engine's canonical input (per the target contract) is an interleaved-document
+table ``documents(doc_id, spans)`` carrying OSM-like entities: ways (roads) with
+ordered vertices and tags, nodes, polygon/point feature layers, grid cells and
+raster tiles.  The sandbox testdata does not ship such a table, so we *derive*
+one deterministically — by pure integer/binary-fraction arithmetic — from the
+driver-generated TPC-H-ish parquet tables (``lineitem``, ``part``, ``customer``).
+
+Everything here is designed for **bit-exact dual implementation**:
+
+* the Spark side (``datagen/world.py``) builds the world with Catalyst column
+  expressions,
+* the DuckDB oracle side (``datagen/oracle.py``) builds the identical world with
+  ANSI SQL generated from the *same constants in this module*.
+
+To make that safe, every coordinate is an exact binary fraction (multiple of
+2^-11), so floating-point addition of steps is exact and order-independent, and
+every geometric predicate below reduces to IEEE-exact ops (+, -, *, /, sqrt) —
+all correctly rounded and therefore identical across engines.  No trig is used
+anywhere (turn angles are tested via cross/dot products against literal sin/cos
+thresholds; circle radii via the circumradius formula R = abc/4A).
+
+Reference semantics mirrored (citations into /root/reference):
+  * uniform grid  — sql/road_classification/01_create_india_grids.sql:10-43
+  * urban-core skew — dense Bangalore-like sub-window (urban_pressure README)
+  * road tags vocabulary — scripts/Lua3_RouteProcessing_with_curvature.lua:139-149
+  * feature layers — Lua3_RouteProcessing_with_curvature.lua:9-137
+  * curvature thresholds — sql/road_curvature_v2/02_compute_vertex_angles.sql:63-68
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- world frame
+# World window is [0,1) x [0,1) degrees; the tiling grid is NX x NY cells of
+# exactly 1/128 deg (binary-exact), mirroring the reference's 0.009-deg
+# ``india_grids`` (01_create_india_grids.sql:32-38).  grid_id = j*NX + i.
+NX = 128
+NY = 128
+CELL_DEG = 1.0 / 128.0          # exact
+COORD_Q = 2048                  # coords are multiples of 1/2048 (quantum)
+M_PER_DEG = 111320.0            # planar equirectangular scale (engine metric)
+CELL_M = CELL_DEG * M_PER_DEG   # ~869.7 m cell edge
+
+# Urban core: an 8x8-cell hotspot holding ~40% of roads (0.4% of the area) —
+# the dense-urban-cell skew the north rule requires us to defeat explicitly.
+URBAN_LO = 0.5
+URBAN_HI = 0.5625               # +8 cells
+SEMI_LO = 0.46875               # urban core + 4-cell ring
+SEMI_HI = 0.59375
+
+A_MOD = 1 << 20                 # road hash modulus
+
+# ------------------------------------------------------------------ road gen
+# Derivation from lineitem (sf0.01 ≈ 60k roads):
+#   osm_id = l_orderkey*8 + l_linenumber
+#   a      = (l_orderkey*7919 + l_linenumber*104729) % A_MOD
+#   urban  = (a % 10) < 4
+#   nv     = 2 + (a % 7)                       # 2..8 vertices
+#   lon0   = urban ? 0.5 + ((a*31)%128)/2048 : ((a*31)%1024)/1024
+#   lat0   = urban ? 0.5 + ((a*53)%128)/2048 : ((a*53)%1024)/1024
+#   dlon(k) = (((a + k*257) % 21) - 10)/2048   # k = 1..nv-1, in [-10,10]/2048
+#   dlat(k) = (((a + k*389) % 21) - 10)/2048
+#   lon(k) = lon0 + sum_{m<=k} dlon(m)         # exact binary sums
+ROAD_A_MUL1 = 7919
+ROAD_A_MUL2 = 104729
+STEP_MUL_LON = 257
+STEP_MUL_LAT = 389
+STEP_MOD = 21
+STEP_HALF = 10
+STEP_DEN = 2048.0
+
+HIGHWAYS = [
+    "motorway", "trunk", "primary", "secondary", "tertiary", "residential",
+    "unclassified", "service", "track", "path", "footway", "cycleway",
+]
+# eligibility predicate (04_prepare_osm_all_roads_table.sql:16-18)
+BIKABLE = [
+    "trunk", "primary", "secondary", "tertiary", "residential",
+    "unclassified", "service", "track", "cycleway",
+]
+LANES = [None, "1", "2", "3", "4", "2-4", "two", "12"]
+SURFACES = [None, "asphalt", "paved", "gravel", "dirt", "concrete"]
+ONEWAY = [None, "yes", "-1", "true"]
+PAVED = ["asphalt", "paved", "concrete"]
+
+# road hierarchy for intersection categorization
+# (01_find_and_categorize_intersections_v2.sql:100-108)
+HIERARCHY = {h: i for i, h in enumerate(reversed(HIGHWAYS), start=1)}
+
+# node ids: coords are exact multiples of 1/COORD_Q, so quantization is exact.
+#   node_id = (lon*2048 + 512)*8192 + (lat*2048 + 512)
+NODE_OFF = 512
+NODE_MUL = 8192
+
+# conflict nodes (Lua3...lua:263-277): ct = node_id % 97 -> type
+CONFLICT_TYPES = ["traffic_signals", "stop", "give_way", "crossing"]
+
+# ------------------------------------------------------------------ features
+# From part (sf0.01 ≈ 2000 features):
+#   b = (p_partkey * 2654435761) % A_MOD
+#   layer = LAYERS[b % 8]; cx = ((b*29)%1024)/1024 ; cy = ((b*43)%1024)/1024
+#   r = (1 + ((b//8) % 8)) / 512                       # 2..16/1024 deg
+FEATURE_B_MUL = 2654435761
+LAYERS = [
+    "forest", "lakes", "desert", "fields", "reserve_forest",   # pentagons
+    "hills_nodes", "mountain_pass", "rivers",                  # points
+]
+POLY_LAYERS = LAYERS[:5]
+POINT_LAYERS = LAYERS[5:]
+
+# pentagon unit directions (exact double literals, same text in SQL)
+PENT_X = [1.0, 0.30901699437494745, -0.8090169943749473,
+          -0.8090169943749475, 0.30901699437494723]
+PENT_Y = [0.0, 0.9510565162951535, 0.5877852522924731,
+          -0.587785252292473, -0.9510565162951536]
+
+# ST_DWithin-style degree thresholds (sql/road_scenery/04..11_*.sql) — the
+# reference deliberately uses *degree* distances in 4326; we mirror that.
+DIST_HILL_DEG = 0.027       # 04_scenery_hill.sql:7-26 (3 km)
+DIST_PASS_DEG = 0.09        # 11_mountain_pass.sql:8-14 (10 km)
+DIST_RIVER_DEG = 0.0078125  # 16/2048 — river proximity (adapted to world scale)
+
+# ------------------------------------------------------------------- raster
+# Synthetic raster: 1024x1024 px over the world (px = 1/1024 deg = 8 px/cell),
+# tiled 16x16 px (=> 64x64 tiles, one tile covers 2x2 grid cells), mirroring
+# raster2pgsql -t 256x256 ingest (scripts/add_custom_tags.py:123-140).
+#   pop(px,py)   = ((px*37 + py*73) % 100) + (in urban core ? 400 : 0)
+#   built(px,py) = ((px*91 + py*17) % 50)
+RASTER_PX = 1024
+TILE_PX = 16
+RASTER_NODATA = -9999
+POP_SAT = 50000.0 / 2048.0  # saturation scaled to synthetic pop counts
+# urban pressure thresholds (sql/urban_pressure/07_classify_urban_class.sql:8-15)
+PRESSURE_URBAN = 0.25
+PRESSURE_SEMI = 0.10
+
+# ------------------------------------------------------------------ kinetics
+# curvature thresholds (02_compute_vertex_angles.sql:63-68, 05_aggregate_to_way.sql:83-86)
+SIN5 = 0.08715574274765817      # sin(5 deg) — min turn angle
+SHARP_RADIUS_M = 150.0
+BROAD_RADIUS_M = 500.0
+SUPPRESS_M = 30.0               # conflict-zone window (04_conflict_zone_suppression.sql:74-83)
+TWIST_CUT_LO = 0.03
+TWIST_CUT_HI = 0.08
+
+# kNN / endpoint-proximity
+KNN_K = 3
+ENDPOINT_DIST_DEG = 0.001953125  # 4/2048 — HAdj 50m-equiv (07_assign...sql:63-97)
+
+# length quantum: lengths are quantized to int64 micrometers before any
+# aggregation so sums are exact and order-independent in both engines.
+LEN_Q = 1.0e6
+
+
+def grid_class_bounds() -> tuple[float, float, float, float]:
+    """(urban_lo, urban_hi, semi_lo, semi_hi) for cell-center class tests."""
+    return URBAN_LO, URBAN_HI, SEMI_LO, SEMI_HI
