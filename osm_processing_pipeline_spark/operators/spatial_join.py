@@ -76,6 +76,23 @@ def point_in_polygon_join(pts: DataFrame, polys: DataFrame,
                .drop("_cell")
 
 
+def distance_join_segments_points(segs: DataFrame, feature_pts: DataFrame,
+                                  radius_deg: float,
+                                  fx: str = "cx", fy: str = "cy") -> DataFrame:
+    """ST_DWithin(road segment, point feature, d): segment cells x feature
+    disk cover equi-join, exact clamped-projection d^2 refine
+    (sql/road_scenery/04_scenery_hill.sql:7-26 semantics)."""
+    scov = segs.withColumn(
+        "_cell", F.explode(cells.segment_cover(F.col("ax"), F.col("ay"),
+                                               F.col("bx"), F.col("by"))))
+    fcov = feature_pts.withColumn(
+        "_cell", F.explode(cells.disk_cover_of_point(F.col(fx), F.col(fy), radius_deg)))
+    cand = scov.join(fcov, "_cell")
+    d2 = G.seg_point_dist2_deg(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                               F.col(fx), F.col(fy))
+    return cand.filter(d2 <= F.lit(radius_deg) * F.lit(radius_deg)).drop("_cell")
+
+
 def distance_join_points(pts: DataFrame, feature_pts: DataFrame,
                          radius_deg: float,
                          px: str = "lon", py: str = "lat",

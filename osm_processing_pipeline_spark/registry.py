@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from . import worldspec as W
 from .datagen import oracle, oracle_geom as og, world
-from .operators import classify
+from .operators import classify, knn, spatial_join
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -136,3 +136,273 @@ def q02_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q02_tile_assignment"] = _q02_sql()
+
+
+# --------------------------------------------------------------------- q03
+def _q03_sql() -> str:
+    cross = og.point_in_poly_crossing("v.lon", "v.lat", "e.x1", "e.y1", "e.x2", "e.y2")
+    flag_cols = ",\n         ".join(
+        f"MAX(CASE WHEN layer = '{l}' THEN 1 ELSE 0 END) = 1 AS in_{l}"
+        for l in W.POLY_LAYERS
+    )
+    sel_flags = ",\n       ".join(
+        f"COALESCE(h.in_{l}, FALSE) AS in_{l}" for l in W.POLY_LAYERS
+    )
+    return f"""{oracle.with_world('verts', 'feat_edges')},
+pip_pairs AS (
+  SELECT v.osm_id, f.feature_id, f.layer
+  FROM verts v
+  JOIN feats f ON f.is_poly
+    AND v.lon >= f.cx - f.r AND v.lon <= f.cx + f.r
+    AND v.lat >= f.cy - f.r AND v.lat <= f.cy + f.r
+  JOIN feat_edges e ON e.feature_id = f.feature_id
+  GROUP BY v.osm_id, v.k, v.lon, v.lat, f.feature_id, f.layer
+  HAVING SUM({cross}) % 2 = 1
+),
+road_flags AS (
+  SELECT osm_id,
+         {flag_cols},
+         COUNT(DISTINCT feature_id) AS n_poly_features
+  FROM pip_pairs GROUP BY osm_id
+)
+SELECT r.osm_id,
+       {sel_flags},
+       CAST(COALESCE(h.n_poly_features, 0) AS BIGINT) AS n_poly_features
+FROM roads_base r LEFT JOIN road_flags h USING (osm_id)"""
+
+
+@register("q03_point_in_polygon_scenery", None)
+def q03_point_in_polygon_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J11: vertex-in-polygon scenery flags via cell-cover PIP join;
+    per-road max(exists) replaces the reference's iterative progressive
+    filters (03_scenery_forest.sql:8-13 and friends)."""
+    r = world.roads(spark, sf_dir)
+    wn = world.way_nodes(spark, sf_dir, r).select(
+        F.col("way_id").alias("osm_id"), "lon", "lat")
+    polys = world.features(spark, sf_dir).filter(F.col("layer").isin(W.POLY_LAYERS))
+    hits = spatial_join.point_in_polygon_join(wn, polys)
+    aggs = [
+        (F.max(F.when(F.col("layer") == l, 1).otherwise(0)) == 1).alias(f"in_{l}")
+        for l in W.POLY_LAYERS
+    ] + [F.countDistinct("feature_id").alias("n_poly_features")]
+    flags = hits.groupBy("osm_id").agg(*aggs)
+    out = r.select("osm_id").join(flags, "osm_id", "left")
+    cols = [F.coalesce(F.col(f"in_{l}"), F.lit(False)).alias(f"in_{l}")
+            for l in W.POLY_LAYERS]
+    return out.select(
+        "osm_id", *cols,
+        F.coalesce(F.col("n_poly_features"), F.lit(0)).cast("long").alias("n_poly_features"))
+
+
+ORACLES["q03_point_in_polygon_scenery"] = _q03_sql()
+
+
+# --------------------------------------------------------------------- q04
+def _q04_sql() -> str:
+    def hits(layer: str, d: float, name: str) -> str:
+        dd = oracle.fl(d)
+        d2 = og.seg_point_dist2("s.ax", "s.ay", "s.bx", "s.by", "f.cx", "f.cy")
+        return f"""{name} AS (
+  SELECT s.osm_id, COUNT(DISTINCT f.feature_id) AS n
+  FROM segs s JOIN feats f ON f.layer = '{layer}'
+    AND f.cx >= LEAST(s.ax, s.bx) - {dd} AND f.cx <= GREATEST(s.ax, s.bx) + {dd}
+    AND f.cy >= LEAST(s.ay, s.by) - {dd} AND f.cy <= GREATEST(s.ay, s.by) + {dd}
+  WHERE {d2} <= {dd} * {dd}
+  GROUP BY s.osm_id
+)"""
+
+    return f"""{oracle.with_world('segs', 'feats')},
+{hits('hills_nodes', W.DIST_HILL_DEG, 'hill_hits')},
+{hits('mountain_pass', W.DIST_PASS_DEG, 'pass_hits')}
+SELECT r.osm_id,
+       h.osm_id IS NOT NULL AS near_hill,
+       p.osm_id IS NOT NULL AS near_pass,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hills
+FROM roads_base r
+LEFT JOIN hill_hits h USING (osm_id)
+LEFT JOIN pass_hits p USING (osm_id)"""
+
+
+@register("q04_distance_join_scenery", None)
+def q04_distance_join_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: ST_DWithin(road, point feature, d) scenery flags — degree-space
+    thresholds exactly as the reference uses them (04_scenery_hill.sql:7-26,
+    11_mountain_pass.sql:8-14)."""
+    r = world.roads(spark, sf_dir)
+    s = world.segments(spark, sf_dir, r)
+    feats = world.features(spark, sf_dir)
+
+    def flag(layer: str, d: float) -> DataFrame:
+        pts = feats.filter(F.col("layer") == layer).select("feature_id", "cx", "cy")
+        j = spatial_join.distance_join_segments_points(s, pts, d)
+        return j.groupBy("osm_id").agg(F.countDistinct("feature_id").alias("n"))
+
+    hills = flag("hills_nodes", W.DIST_HILL_DEG)
+    passes = flag("mountain_pass", W.DIST_PASS_DEG).withColumnRenamed("n", "np")
+    return (
+        r.select("osm_id")
+        .join(hills, "osm_id", "left")
+        .join(passes, "osm_id", "left")
+        .select(
+            "osm_id",
+            F.col("n").isNotNull().alias("near_hill"),
+            F.col("np").isNotNull().alias("near_pass"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hills"),
+        )
+    )
+
+
+ORACLES["q04_distance_join_scenery"] = _q04_sql()
+
+
+# --------------------------------------------------------------------- q05
+def _q05_sql() -> str:
+    d2 = og.point_dist2("q.qx", "q.qy", "n.lon", "n.lat")
+    return f"""{oracle.with_world('verts', 'qpts')},
+nodes AS (SELECT DISTINCT node_id, lon, lat FROM verts),
+cand AS (
+  SELECT q.query_id, n.node_id, {d2} AS d2
+  FROM qpts q CROSS JOIN nodes n
+),
+ranked AS (
+  SELECT query_id, node_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, node_id) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, node_id, d2
+FROM ranked WHERE rank <= {W.KNN_K}"""
+
+
+@register("q05_knn", None)
+def q05_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: exact kNN via escalating k-ring expansion with ring-sufficiency
+    proof; brute-force residue fallback."""
+    q = world.query_points(spark, sf_dir)
+    nodes = world.way_nodes(spark, sf_dir).select("node_id", "lon", "lat").distinct()
+    out = knn.knn_join(q, nodes, W.KNN_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "node_id", "d2")
+
+
+ORACLES["q05_knn"] = _q05_sql()
+
+
+# --------------------------------------------------------------------- q06
+def _q06_sql() -> str:
+    return f"""{oracle.with_world('segs', 'grid')},
+{og.cand_cells_ctes('segs')},
+pieces AS (
+  SELECT c.osm_id, c.grid_id
+  FROM seg_cells c JOIN grid g USING (grid_id)
+  WHERE {og.seg_rect_hit()}
+),
+cellcnt AS (SELECT grid_id, COUNT(DISTINCT osm_id) AS cnt FROM pieces GROUP BY grid_id),
+allcells AS (
+  SELECT g.grid_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM grid g LEFT JOIN cellcnt c USING (grid_id)
+),
+ring_i AS (
+  SELECT grid_id AS src, grid_id % {W.NX} AS i, grid_id // {W.NX} AS j, cnt,
+         unnest(generate_series(-2, 2)) AS di
+  FROM allcells
+),
+contrib AS (
+  SELECT (j + dj) * {W.NX} + (i + di) AS grid_id, cnt
+  FROM (SELECT *, unnest(generate_series(-2, 2)) AS dj FROM ring_i)
+  WHERE i + di BETWEEN 0 AND {W.NX - 1} AND j + dj BETWEEN 0 AND {W.NY - 1}
+),
+smooth AS (
+  SELECT grid_id, SUM(cnt) AS ring_sum, COUNT(*) AS ring_cells
+  FROM contrib GROUP BY grid_id
+)
+SELECT a.grid_id, a.cnt,
+       CAST(s.ring_sum AS BIGINT) AS ring_sum,
+       CAST(s.ring_cells AS BIGINT) AS ring_cells,
+       CAST((s.ring_sum * 1000) // s.ring_cells AS BIGINT) AS smoothed_permille
+FROM allcells a JOIN smooth s USING (grid_id)"""
+
+
+@register("q06_kring_smoothing", None)
+def q06_kring_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: neighborhood-smoothed road density per cell — the reference's
+    reinforced-pressure self-join (06_compute_reinforced_pressure_chunked.sql:4-16)
+    re-expressed as a computable k-ring contribution join (no geometric
+    self-join, no skew: contributions fan out 25x then hash-agg)."""
+    from .functions import cells as C
+
+    r = world.roads(spark, sf_dir)
+    s = world.segments(spark, sf_dir, r)
+    g = world.grids(spark)
+    pieces = spatial_join.segment_cell_pieces(s, g)
+    cellcnt = pieces.groupBy("grid_id").agg(F.countDistinct("osm_id").alias("cnt"))
+    allcells = (
+        g.select("grid_id").join(cellcnt, "grid_id", "left")
+        .select("grid_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
+    )
+    contrib = allcells.select(
+        F.explode(C.kring(F.col("grid_id"), 2)).alias("grid_id"),
+        F.col("cnt"),
+    )
+    smooth = contrib.groupBy("grid_id").agg(
+        F.sum("cnt").alias("ring_sum"), F.count("*").alias("ring_cells"))
+    return (
+        allcells.join(smooth, "grid_id")
+        .select(
+            "grid_id", "cnt",
+            F.col("ring_sum").cast("long").alias("ring_sum"),
+            F.col("ring_cells").cast("long").alias("ring_cells"),
+            F.expr("CAST((ring_sum * 1000) DIV ring_cells AS BIGINT)").alias("smoothed_permille"),
+        )
+    )
+
+
+ORACLES["q06_kring_smoothing"] = _q06_sql()
+
+
+# --------------------------------------------------------------------- q07
+def _q07_sql() -> str:
+    return f"""{oracle.with_world('verts')},
+node_stats AS (
+  SELECT node_id,
+         COUNT(DISTINCT osm_id) AS n_ways,
+         COUNT(DISTINCT highway) AS n_types,
+         MAX(CASE WHEN k > 0 AND k < nv - 1 THEN 1 ELSE 0 END) AS mid
+  FROM verts GROUP BY node_id
+)
+SELECT node_id, CAST(n_ways AS BIGINT) AS n_ways, CAST(n_types AS BIGINT) AS n_types,
+       mid = 1 AS has_mid,
+       CASE WHEN n_ways >= 4 THEN 'major'
+            WHEN n_ways = 3 THEN 'three_way'
+            ELSE 'crossing' END AS category
+FROM node_stats
+WHERE n_ways >= 2 AND (n_ways >= 3 OR n_types >= 2 OR mid = 1)"""
+
+
+@register("q07_intersection_detection", None)
+def q07_intersection_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: shared-node intersection detection + categorization
+    (01_find_and_categorize_intersections_v2.sql:52-73): >=2 distinct ways AND
+    (>=3 ways OR >=2 road types OR a mid-way crossing)."""
+    wn = world.way_nodes(spark, sf_dir)
+    stats = wn.groupBy("node_id").agg(
+        F.countDistinct("way_id").alias("n_ways"),
+        F.countDistinct("highway").alias("n_types"),
+        F.max(F.when((F.col("seq") > 0) & (F.col("seq") < F.col("nv") - 1), 1)
+              .otherwise(0)).alias("mid"),
+    )
+    out = stats.filter(
+        (F.col("n_ways") >= 2)
+        & ((F.col("n_ways") >= 3) | (F.col("n_types") >= 2) | (F.col("mid") == 1))
+    )
+    return out.select(
+        "node_id",
+        F.col("n_ways").cast("long").alias("n_ways"),
+        F.col("n_types").cast("long").alias("n_types"),
+        (F.col("mid") == 1).alias("has_mid"),
+        F.when(F.col("n_ways") >= 4, "major")
+         .when(F.col("n_ways") == 3, "three_way")
+         .otherwise("crossing").alias("category"),
+    )
+
+
+ORACLES["q07_intersection_detection"] = _q07_sql()
