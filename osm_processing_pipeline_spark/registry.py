@@ -406,3 +406,118 @@ def q07_intersection_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q07_intersection_detection"] = _q07_sql()
+
+
+# --------------------------------------------------------------------- q08
+def _q08_sql() -> str:
+    from .datagen.oracle import fl
+    M = fl(W.M_PER_DEG)
+    Q = fl(W.LEN_Q)
+    win = int(W.SUPPRESS_M * 1.0e6)
+    nconf = len(W.CONFLICT_TYPES)
+    cut_hi = int(W.TWIST_CUT_HI * 1000)
+    cut_lo = int(W.TWIST_CUT_LO * 1000)
+    return f"""{oracle.with_world('verts')},
+segd AS (
+  SELECT osm_id, k, nv, lon, lat, node_id,
+         (LEAD(lon) OVER w - lon) * {M} AS sdx,
+         (LEAD(lat) OVER w - lat) * {M} AS sdy,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         LEAD(lon) OVER w AS nlon, LEAD(lat) OVER w AS nlat
+  FROM verts WINDOW w AS (PARTITION BY osm_id ORDER BY k)
+),
+segq AS (
+  SELECT *,
+         CASE WHEN sdx IS NULL THEN 0
+              ELSE CAST(floor(sqrt(sdx*sdx + sdy*sdy) * {Q}) AS BIGINT) END AS seg_um
+  FROM segd
+),
+cumv AS (
+  SELECT *,
+         COALESCE(SUM(seg_um) OVER (PARTITION BY osm_id ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM segq
+),
+conf AS (SELECT osm_id, cum AS ccum FROM cumv WHERE node_id % 97 < {nconf}),
+interior AS (
+  SELECT v.osm_id,
+         (v.lon - v.plon) * {M} AS ux, (v.lat - v.plat) * {M} AS uy,
+         (v.nlon - v.lon) * {M} AS wx, (v.nlat - v.lat) * {M} AS wy,
+         (v.nlon - v.plon) * {M} AS cx_, (v.nlat - v.plat) * {M} AS cy_,
+         EXISTS (SELECT 1 FROM conf c
+                 WHERE c.osm_id = v.osm_id AND abs(v.cum - c.ccum) <= {win}) AS sup
+  FROM cumv v WHERE v.k >= 1 AND v.k <= v.nv - 2
+),
+vert_metrics AS (
+  SELECT osm_id, sup,
+         sqrt(ux*ux + uy*uy) AS a,
+         sqrt(wx*wx + wy*wy) AS b,
+         sqrt(cx_*cx_ + cy_*cy_) AS c,
+         abs(ux*wy - uy*wx) AS area2,
+         (ux*wx + uy*wy) AS dot
+  FROM interior
+),
+judged AS (
+  SELECT osm_id, sup,
+         CAST(floor(((a + b) / 2.0e0) * {Q}) AS BIGINT) AS contrib_um,
+         NOT (dot > 0 AND area2 < {fl(W.SIN5)} * (a * b)) AS significant,
+         (a > 0 AND b > 0 AND area2 > 0) AS nonzero,
+         CASE WHEN area2 > 0 THEN (a * b * c) / (2.0e0 * area2) ELSE NULL END AS radius
+  FROM vert_metrics
+),
+flags AS (
+  SELECT osm_id, sup, contrib_um,
+         significant AND nonzero AND radius <= {fl(W.SHARP_RADIUS_M)} AS sharp,
+         significant AND nonzero AND radius <= {fl(W.BROAD_RADIUS_M)} AS broad0
+  FROM judged
+),
+roll AS (
+  SELECT osm_id,
+         SUM(CASE WHEN sharp AND NOT sup THEN contrib_um ELSE 0 END) AS sharp_len_um,
+         SUM(CASE WHEN broad0 AND NOT sharp AND NOT sup THEN contrib_um ELSE 0 END) AS broad_len_um,
+         SUM(CASE WHEN sharp AND NOT sup THEN 1 ELSE 0 END) AS n_sharp,
+         SUM(CASE WHEN broad0 AND NOT sharp AND NOT sup THEN 1 ELSE 0 END) AS n_broad,
+         SUM(CASE WHEN sup THEN 1 ELSE 0 END) AS n_suppressed
+  FROM flags GROUP BY osm_id
+),
+tot AS (SELECT osm_id, SUM(seg_um) AS total_len_um FROM segq GROUP BY osm_id)
+SELECT r.osm_id,
+       CAST(COALESCE(t.total_len_um, 0) AS BIGINT) AS total_len_um,
+       CAST(COALESCE(o.sharp_len_um, 0) AS BIGINT) AS sharp_len_um,
+       CAST(COALESCE(o.broad_len_um, 0) AS BIGINT) AS broad_len_um,
+       CAST(COALESCE(o.n_sharp, 0) AS BIGINT) AS n_sharp,
+       CAST(COALESCE(o.n_broad, 0) AS BIGINT) AS n_broad,
+       CAST(COALESCE(o.n_suppressed, 0) AS BIGINT) AS n_suppressed,
+       CAST(CASE WHEN COALESCE(t.total_len_um, 0) > 0
+            THEN ((COALESCE(o.sharp_len_um, 0) * 2 + COALESCE(o.broad_len_um, 0)) * 1000)
+                 // GREATEST(t.total_len_um, 1)
+            ELSE 0 END AS BIGINT) AS twist_permille,
+       CASE WHEN (CASE WHEN COALESCE(t.total_len_um, 0) > 0
+                  THEN ((COALESCE(o.sharp_len_um, 0) * 2 + COALESCE(o.broad_len_um, 0)) * 1000)
+                       // GREATEST(t.total_len_um, 1) ELSE 0 END) >= {cut_hi} THEN 'twisty'
+            WHEN (CASE WHEN COALESCE(t.total_len_um, 0) > 0
+                  THEN ((COALESCE(o.sharp_len_um, 0) * 2 + COALESCE(o.broad_len_um, 0)) * 1000)
+                       // GREATEST(t.total_len_um, 1) ELSE 0 END) >= {cut_lo} THEN 'curvy'
+            ELSE 'straight' END AS curve_class
+FROM roads_base r
+LEFT JOIN roll o USING (osm_id)
+LEFT JOIN tot t USING (osm_id)"""
+
+
+@register("q08_curvature", None)
+def q08_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W1/W2 + conflict suppression: per-way curvature rollup through the
+    vectorized Arrow kernel (mapInPandas over nested vertex arrays — no
+    shuffle; flat-vectorized numpy, no per-row Python)."""
+    from .functions.curvature_kernel import OUT_SCHEMA, curvature_map_batches
+
+    r = world.roads(spark, sf_dir).select(
+        "osm_id",
+        F.expr("transform(vertices, v -> v.lon)").alias("lons"),
+        F.expr("transform(vertices, v -> v.lat)").alias("lats"),
+        F.expr("transform(vertices, v -> v.node_id)").alias("node_ids"),
+    )
+    return r.mapInPandas(curvature_map_batches, schema=OUT_SCHEMA)
+
+
+ORACLES["q08_curvature"] = _q08_sql()
