@@ -521,3 +521,207 @@ def q08_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q08_curvature"] = _q08_sql()
+
+
+# --------------------------------------------------------------------- q09
+def _q09_sql() -> str:
+    d = oracle.fl(W.ENDPOINT_DIST_DEG)
+    d2 = og.point_dist2("e.lon", "e.lat", "h.hlon", "h.hlat")
+    return f"""{oracle.with_world('verts')},
+htypes AS (
+  SELECT osm_id AS h_osm FROM roads_base
+  WHERE ref IS NOT NULL AND (upper(ref) LIKE '%NH%' OR upper(ref) LIKE '%SH%'
+                             OR upper(ref) LIKE '%MDR%')
+),
+hnodes AS (
+  SELECT v.osm_id AS h_osm, v.lon AS hlon, v.lat AS hlat
+  FROM verts v JOIN htypes t ON v.osm_id = t.h_osm
+),
+eps AS (
+  SELECT osm_id, CASE WHEN k = 0 THEN 0 ELSE 1 END AS ep, lon, lat
+  FROM verts WHERE k = 0 OR k = nv - 1
+),
+matches AS (
+  SELECT DISTINCT e.osm_id, e.ep
+  FROM eps e JOIN hnodes h ON h.h_osm != e.osm_id
+    AND h.hlon >= e.lon - {d} AND h.hlon <= e.lon + {d}
+    AND h.hlat >= e.lat - {d} AND h.hlat <= e.lat + {d}
+  WHERE {d2} <= {d} * {d}
+),
+per_road AS (
+  SELECT osm_id,
+         MAX(CASE WHEN ep = 0 THEN 1 ELSE 0 END) = 1 AS near0,
+         MAX(CASE WHEN ep = 1 THEN 1 ELSE 0 END) = 1 AS near1
+  FROM matches GROUP BY osm_id
+)
+SELECT r.osm_id,
+       COALESCE(p.near0, FALSE) AS near0,
+       COALESCE(p.near1, FALSE) AS near1,
+       COALESCE(p.near0, FALSE) AND COALESCE(p.near1, FALSE) AS hadj_upgrade
+FROM roads_base r LEFT JOIN per_road p USING (osm_id)"""
+
+
+@register("q09_endpoint_proximity_upgrade", None)
+def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: HAdj upgrade — both road endpoints within d of an NH/SH/MDR road's
+    vertices (07_assign_final_road_classification.sql:63-97), via k-ring
+    candidate join + exact d^2 refine."""
+    from .functions import cells as C
+    from .functions import geometry as G
+
+    r = world.roads(spark, sf_dir)
+    up = F.upper(F.col("ref"))
+    hn = (
+        r.filter(F.col("ref").isNotNull()
+                 & (up.contains("NH") | up.contains("SH") | up.contains("MDR")))
+        .select(F.col("osm_id").alias("h_osm"), F.explode("vertices").alias("v"))
+        .select("h_osm", F.col("v.lon").alias("hlon"), F.col("v.lat").alias("hlat"))
+    )
+    d = W.ENDPOINT_DIST_DEG
+    import math
+    ring = int(math.ceil(d / W.CELL_DEG))
+    hn_cov = hn.withColumn(
+        "_cell", F.explode(C.disk_cover_of_point(F.col("hlon"), F.col("hlat"), d)))
+    eps = r.select(
+        "osm_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("ep"),
+                     F.element_at("vertices", 1)["lon"].alias("lon"),
+                     F.element_at("vertices", 1)["lat"].alias("lat")),
+            F.struct(F.lit(1).alias("ep"),
+                     F.element_at("vertices", -1)["lon"].alias("lon"),
+                     F.element_at("vertices", -1)["lat"].alias("lat")),
+        )).alias("e"),
+    ).select("osm_id", "e.ep", "e.lon", "e.lat")
+    eps = eps.withColumn("_cell", C.cell_of_point(F.col("lon"), F.col("lat")))
+    cand = eps.join(hn_cov, "_cell").filter(F.col("h_osm") != F.col("osm_id"))
+    d2 = G.point_dist2_deg(F.col("lon"), F.col("lat"), F.col("hlon"), F.col("hlat"))
+    matches = cand.filter(d2 <= F.lit(d) * F.lit(d)).select("osm_id", "ep").distinct()
+    per_road = matches.groupBy("osm_id").agg(
+        (F.max(F.when(F.col("ep") == 0, 1).otherwise(0)) == 1).alias("near0"),
+        (F.max(F.when(F.col("ep") == 1, 1).otherwise(0)) == 1).alias("near1"),
+    )
+    out = r.select("osm_id").join(per_road, "osm_id", "left")
+    n0 = F.coalesce(F.col("near0"), F.lit(False))
+    n1 = F.coalesce(F.col("near1"), F.lit(False))
+    return out.select("osm_id", n0.alias("near0"), n1.alias("near1"),
+                      (n0 & n1).alias("hadj_upgrade"))
+
+
+ORACLES["q09_endpoint_proximity_upgrade"] = _q09_sql()
+
+
+# --------------------------------------------------------------------- q10
+def _pixels_cte() -> str:
+    n = W.RASTER_PX
+    lo, hi = W.URBAN_PX_LO, W.URBAN_PX_HI
+    return f"""pixels AS (
+  SELECT px, unnest(generate_series(0, {n - 1})) AS py,
+         NULL AS _y
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS px)
+),
+pixvals AS (
+  SELECT px, py,
+         (px*37 + py*73) % 100
+           + CASE WHEN px >= {lo} AND px < {hi} AND py >= {lo} AND py < {hi}
+                  THEN {W.URBAN_POP_BOOST} ELSE 0 END AS pop,
+         (px*91 + py*17) % 50 AS built
+  FROM pixels
+)"""
+
+
+def _q10_sql() -> str:
+    ppc = W.PX_PER_CELL
+    return f"""WITH {_pixels_cte()}
+SELECT (py // {ppc}) * {W.NX} + (px // {ppc}) AS grid_id,
+       CAST(SUM(pop) AS BIGINT) AS pop_sum,
+       CAST(SUM(built) AS BIGINT) AS built_sum
+FROM pixvals
+GROUP BY 1"""
+
+
+@register("q10_zonal_stats", None)
+def q10_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A2: per-grid-cell zonal band sums decoded from real binary raster
+    tiles (ST_Clip + ST_SummaryStats path, 03_zonal_pop_count_chunked.sql:4-12)."""
+    from .operators import zonal
+    from .sources.raster import raster_tiles
+
+    return zonal.zonal_cell_sums(raster_tiles(spark))
+
+
+ORACLES["q10_zonal_stats"] = _q10_sql()
+
+
+# --------------------------------------------------------------------- q11
+def _q11_sql() -> str:
+    n = W.RASTER_PX
+    lo, hi = W.URBAN_PX_LO, W.URBAN_PX_HI
+    return f"""{oracle.with_world('verts')},
+rep AS (
+  SELECT osm_id,
+         GREATEST(0, LEAST({n - 1}, CAST(floor(lon * {n}) AS BIGINT))) AS px,
+         GREATEST(0, LEAST({n - 1}, CAST(floor(lat * {n}) AS BIGINT))) AS py
+  FROM verts WHERE k = nv // 2
+)
+SELECT osm_id,
+       CAST((px*37 + py*73) % 100
+            + CASE WHEN px >= {lo} AND px < {hi} AND py >= {lo} AND py < {hi}
+                   THEN {W.URBAN_POP_BOOST} ELSE 0 END AS BIGINT) AS pop_value
+FROM rep"""
+
+
+@register("q11_raster_point_sample", None)
+def q11_raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: ST_Value(rast, pt) at each road's representative vertex — point ->
+    tile equi-join + vectorized pixel gather from binary tiles
+    (hill_v2/03_compute_relief_from_raster.sql:17-56)."""
+    from .operators import zonal
+    from .sources.raster import raster_tiles
+
+    r = world.roads(spark, sf_dir)
+    mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
+    pts = r.select(
+        "osm_id",
+        F.element_at("vertices", mid)["lon"].alias("lon"),
+        F.element_at("vertices", mid)["lat"].alias("lat"),
+    )
+    return zonal.sample_points(raster_tiles(spark), pts)
+
+
+ORACLES["q11_raster_point_sample"] = _q11_sql()
+
+
+# --------------------------------------------------------------------- q12
+def _q12_sql() -> str:
+    ppc = W.PX_PER_CELL
+    fl = oracle.fl
+    pdr = f"LEAST(pop_sum / {fl(W.POP_SAT_CELL)}, {fl(1.0)})"
+    bur = f"LEAST(built_sum / {fl(W.BUILT_SAT_CELL)}, {fl(1.0)})"
+    pressure = f"({fl(1.0)} - ({fl(1.0)} - {pdr}) * ({fl(1.0)} - {bur}))"
+    return f"""WITH {_pixels_cte()},
+cellsums AS (
+  SELECT (py // {ppc}) * {W.NX} + (px // {ppc}) AS grid_id,
+         CAST(SUM(pop) AS BIGINT) AS pop_sum,
+         CAST(SUM(built) AS BIGINT) AS built_sum
+  FROM pixvals GROUP BY 1
+)
+SELECT grid_id, pop_sum, built_sum,
+       CAST(floor({pressure} * {fl(1.0e6)}) AS BIGINT) AS pressure_micro,
+       CASE WHEN {pressure} >= {fl(W.PRESSURE_URBAN)} THEN 'urban'
+            WHEN {pressure} >= {fl(W.PRESSURE_SEMI)} THEN 'semi_urban'
+            ELSE 'rural' END AS pressure_class
+FROM cellsums"""
+
+
+@register("q12_urban_pressure", None)
+def q12_urban_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urban pressure composition + classification over zonal sums
+    (05_compute_urban_pressure.sql:12-16, 07_classify_urban_class.sql:8-15)."""
+    from .operators import zonal
+    from .sources.raster import raster_tiles
+
+    return zonal.urban_pressure(zonal.zonal_cell_sums(raster_tiles(spark)))
+
+
+ORACLES["q12_urban_pressure"] = _q12_sql()

@@ -127,10 +127,20 @@ DIST_RIVER_DEG = 0.0078125  # 16/2048 — river proximity (adapted to world scal
 # raster2pgsql -t 256x256 ingest (scripts/add_custom_tags.py:123-140).
 #   pop(px,py)   = ((px*37 + py*73) % 100) + (in urban core ? 400 : 0)
 #   built(px,py) = ((px*91 + py*17) % 50)
-RASTER_PX = 1024
-TILE_PX = 16
+RASTER_PX = 1024            # world is 1024x1024 px, 8 px per grid cell
+TILE_PX = 16                # => 64x64 tiles, one tile covers 2x2 grid cells
+N_TILES = RASTER_PX // TILE_PX
+PX_PER_CELL = RASTER_PX // NX
 RASTER_NODATA = -9999
-POP_SAT = 50000.0 / 2048.0  # saturation scaled to synthetic pop counts
+URBAN_PX_LO = int(URBAN_LO * RASTER_PX)   # 512
+URBAN_PX_HI = int(URBAN_HI * RASTER_PX)   # 576
+URBAN_POP_BOOST = 400
+# pixel-value formulas (shared closed form; the Spark path goes through real
+# binary tile payloads, the oracle recomputes the closed form):
+#   pop(px,py)   = ((px*37 + py*73) % 100) + (urban-core px window ? 400 : 0)
+#   built(px,py) = ((px*91 + py*17) % 50)
+POP_SAT_CELL = 16384.0      # per-cell saturation (pd_sat analogue, 50k ppl/km2)
+BUILT_SAT_CELL = 1600.0
 # urban pressure thresholds (sql/urban_pressure/07_classify_urban_class.sql:8-15)
 PRESSURE_URBAN = 0.25
 PRESSURE_SEMI = 0.10
