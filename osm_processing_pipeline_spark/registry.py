@@ -725,3 +725,56 @@ def q12_urban_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q12_urban_pressure"] = _q12_sql()
+
+
+# --------------------------------------------------------------------- q13
+def _q13_sql() -> str:
+    q = oracle.fl(W.COORD_Q)
+    return f"""{oracle.with_world('verts')},
+chk AS (
+  SELECT osm_id,
+         SUM(CAST(round(lon * {q}) AS BIGINT) + CAST(round(lat * {q}) AS BIGINT)) AS geom_checksum,
+         MAX(CASE WHEN k = 0 THEN node_id END) AS first_node,
+         MAX(CASE WHEN k = nv - 1 THEN node_id END) AS last_node
+  FROM verts GROUP BY osm_id
+)
+SELECT 'way/' || CAST(r.osm_id AS VARCHAR) AS doc_id,
+       r.osm_id, r.highway,
+       CAST(2 + (CASE WHEN r.ref IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN r.lanes IS NOT NULL THEN 1 ELSE 0 END)
+          + r.nv + 1
+          + (CASE WHEN r.a % 5 = 0 THEN 1 ELSE 0 END) AS INT) AS n_spans,
+       CAST(r.nv AS INT) AS n_node_refs,
+       r.a % 5 = 0 AS has_image,
+       CAST(c.geom_checksum AS BIGINT) AS geom_checksum,
+       c.first_node, c.last_node
+FROM roads_base r JOIN chk c USING (osm_id)"""
+
+
+@register("q13_interleaved_roundtrip", None)
+def q13_interleaved_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S6 + span invariant: encode the world into interleaved text+media
+    documents, parse back with pure array expressions, emit structural
+    checksums the oracle recomputes relationally — proving the document codec
+    end-to-end."""
+    from .sources import documents as D
+
+    r = world.roads(spark, sf_dir)
+    docs = D.encode_road_documents(r)
+    p = D.parse_road_documents(docs)
+    chk = F.aggregate(
+        F.col("vertices"), F.lit(0).cast("long"),
+        lambda acc, v: acc + F.round(v["lon"] * float(W.COORD_Q)).cast("long")
+        + F.round(v["lat"] * float(W.COORD_Q)).cast("long"))
+    return p.select(
+        "doc_id", "osm_id", "highway",
+        F.col("n_spans").cast("int").alias("n_spans"),
+        F.size("node_refs").cast("int").alias("n_node_refs"),
+        "has_image",
+        chk.alias("geom_checksum"),
+        F.element_at("node_refs", 1).alias("first_node"),
+        F.element_at("node_refs", -1).alias("last_node"),
+    )
+
+
+ORACLES["q13_interleaved_roundtrip"] = _q13_sql()
