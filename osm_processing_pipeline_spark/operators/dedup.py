@@ -1,0 +1,154 @@
+"""Deduplication operators over the documents table (training-data pipeline).
+
+Exact (hash groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(signature -> band -> bucket-join -> exact verify), SimHash (bit-vote
+signature -> block bucket -> Hamming refine).  All hashes are engine-portable
+integer polynomials (functions/text.py), so every operator has an exact DuckDB
+oracle.
+
+Scale notes: shingle/band/block self-joins are classic skew points (a hot
+shingle fans out quadratically).  The LSH band join keys are wide (4 minhash
+values), which diffuses hot buckets; for the raw shingle join at 100 TB the
+plan is: distinct (doc, shingle) -> frequency-filter ultra-hot shingles
+(they carry no dedup signal) -> self-join within shingle buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import worldspec as W
+from ..functions import text as T
+
+
+def doc_tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    t = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return t.distinct() if distinct else t
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Canonical-id assignment by content hash (md5 of lowercased text)."""
+    keys = docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("content_hash"))
+    canon = keys.groupBy("content_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return keys.join(canon, "content_hash").select(
+        "doc_id", "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "content_hash")
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc."""
+    tk = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    concat_args = ", ' ', ".join(f"tk[i + {d}]" for d in range(n))
+    sh = tk.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(tk) >= {n} THEN "
+            f"transform(sequence(0, size(tk) - {n}), i -> concat({concat_args})) "
+            f"ELSE array() END"
+        )).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def jaccard_pairs(sets: DataFrame, key: str = "shingle",
+                  min_permille: int = 0) -> DataFrame:
+    """All-pairs Jaccard over (doc_id, key) set rows; pairs must share >= 1
+    key.  Returns (doc_a, doc_b, inter_cnt, union_cnt, jaccard_permille)."""
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), key)
+    b = sets.select(F.col("doc_id").alias("doc_b"), key)
+    inter = (
+        a.join(b, key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
+        .withColumn("jaccard_permille",
+                    F.expr("CAST((inter_cnt * 1000) DIV union_cnt AS BIGINT)"))
+    )
+    out = j.select("doc_a", "doc_b",
+                   F.col("inter_cnt").cast("long").alias("inter_cnt"),
+                   F.col("union_cnt").cast("long").alias("union_cnt"),
+                   "jaccard_permille")
+    if min_permille > 0:
+        out = out.filter(F.col("jaccard_permille") >= min_permille)
+    return out
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{N-1}) MinHash signature over distinct unigrams."""
+    th = doc_tokens(docs).withColumn("h", T.token_hash(F.col("tok")))
+    return th.groupBy("doc_id").agg(*T.minhash_agg_cols(F.col("h")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures (MINHASH_BANDS bands x rows) and bucket-join."""
+    rows = W.MINHASH_N // W.MINHASH_BANDS
+    band_structs = []
+    for k in range(W.MINHASH_BANDS):
+        key = F.concat_ws(":", *[F.col(f"mh{k * rows + r}").cast("string")
+                                 for r in range(rows)])
+        band_structs.append(F.struct(F.lit(k).alias("band"), key.alias("bkey")))
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b")) \
+                .select("doc_id", "b.band", "b.bkey")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_bands"))
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame) -> DataFrame:
+    """LSH candidates verified with exact unigram Jaccard."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    jac = jaccard_pairs(doc_tokens(docs), key="tok")
+    return cand.join(jac, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "shared_bands", "inter_cnt", "union_cnt",
+        "jaccard_permille")
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over the token multiset (bit votes weighted by count)."""
+    t = doc_tokens(docs, distinct=False)
+    h32 = T.simhash_spread(T.token_hash(F.col("tok")))
+    sums = t.withColumn("h32", h32).groupBy("doc_id").agg(
+        *T.simhash_bit_sum_cols(F.col("h32")))
+    return sums.select("doc_id", T.simhash_from_sums().alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int | None = None) -> DataFrame:
+    """Near-dup pairs: share >= 1 of 4 8-bit blocks, Hamming(xor) <= max."""
+    max_hamming = W.SIMHASH_MAX_HAMMING if max_hamming is None else max_hamming
+    sigs = simhash_signatures(docs)
+    blocks = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("blk"),
+                     (F.floor(F.col("simhash") / F.lit(1 << (8 * k))).cast("long")
+                      % 256).alias("bval"))
+            for k in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.bval")
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+                      "blk", "bval")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+                      "blk", "bval")
+    pairs = (
+        a.join(b, ["blk", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")

@@ -90,7 +90,7 @@ LEFT JOIN per_road p USING (osm_id)"""
 @register("q01_road_grid_classification", None)
 def q01_road_grid_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship J1+A1+P6: road x grid cover join -> exact clip -> class rollup."""
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     s = world.segments(spark, sf_dir, r)
     g = world.grids(spark)
     out = classify.classify_roads(r, s, g)
@@ -129,7 +129,7 @@ def q02_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: deterministic tile assignment — representative-vertex cell (pure
     encode) + min intersecting cell (ORDER BY grid_id LIMIT 1 made associative,
     persona_v2_run.py:222-243)."""
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     s = world.segments(spark, sf_dir, r)
     g = world.grids(spark)
     return classify.tile_assignment(r, s, g)
@@ -176,7 +176,7 @@ def q03_point_in_polygon_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/J11: vertex-in-polygon scenery flags via cell-cover PIP join;
     per-road max(exists) replaces the reference's iterative progressive
     filters (03_scenery_forest.sql:8-13 and friends)."""
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     wn = world.way_nodes(spark, sf_dir, r).select(
         F.col("way_id").alias("osm_id"), "lon", "lat")
     polys = world.features(spark, sf_dir).filter(F.col("layer").isin(W.POLY_LAYERS))
@@ -228,7 +228,7 @@ def q04_distance_join_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: ST_DWithin(road, point feature, d) scenery flags — degree-space
     thresholds exactly as the reference uses them (04_scenery_hill.sql:7-26,
     11_mountain_pass.sql:8-14)."""
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     s = world.segments(spark, sf_dir, r)
     feats = world.features(spark, sf_dir)
 
@@ -330,7 +330,7 @@ def q06_kring_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no skew: contributions fan out 25x then hash-agg)."""
     from .functions import cells as C
 
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     s = world.segments(spark, sf_dir, r)
     g = world.grids(spark)
     pieces = spatial_join.segment_cell_pieces(s, g)
@@ -511,7 +511,7 @@ def q08_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; flat-vectorized numpy, no per-row Python)."""
     from .functions.curvature_kernel import OUT_SCHEMA, curvature_map_batches
 
-    r = world.roads(spark, sf_dir).select(
+    r = world.roads_materialized(spark, sf_dir).select(
         "osm_id",
         F.expr("transform(vertices, v -> v.lon)").alias("lons"),
         F.expr("transform(vertices, v -> v.lat)").alias("lats"),
@@ -569,7 +569,7 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
     from .functions import cells as C
     from .functions import geometry as G
 
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     up = F.upper(F.col("ref"))
     hn = (
         r.filter(F.col("ref").isNotNull()
@@ -679,7 +679,7 @@ def q11_raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import zonal
     from .sources.raster import raster_tiles
 
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
     pts = r.select(
         "osm_id",
@@ -759,7 +759,7 @@ def q13_interleaved_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     from .sources import documents as D
 
-    r = world.roads(spark, sf_dir)
+    r = world.roads_materialized(spark, sf_dir)
     docs = D.encode_road_documents(r)
     p = D.parse_road_documents(docs)
     chk = F.aggregate(
@@ -778,3 +778,372 @@ def q13_interleaved_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q13_interleaved_roundtrip"] = _q13_sql()
+
+
+# ------------------------------------------------- training-data pipeline ops
+from .datagen import oracle_text as ot  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------- q14
+ORACLES["q14_exact_dedup"] = """
+WITH keys AS (SELECT doc_id, md5(lower(text)) AS content_hash FROM documents),
+canon AS (SELECT content_hash, MIN(doc_id) AS canonical_id FROM keys GROUP BY content_hash)
+SELECT k.doc_id, c.canonical_id, k.doc_id != c.canonical_id AS is_duplicate, k.content_hash
+FROM keys k JOIN canon c USING (content_hash)"""
+
+
+@register("q14_exact_dedup", None)
+def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical id per content hash (hash groupBy; the min-id
+    tie-break is associative -> partial-aggregable at any scale)."""
+    from .operators import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------- q15
+def _q15_sql() -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tk)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter_cnt AS BIGINT) AS inter_cnt,
+       CAST(sa.n + sb.n - i.inter_cnt AS BIGINT) AS union_cnt,
+       CAST((i.inter_cnt * 1000) // (sa.n + sb.n - i.inter_cnt) AS BIGINT) AS jaccard_permille
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE (i.inter_cnt * 1000) // (sa.n + sb.n - i.inter_cnt) >= {W.JACCARD_MIN_PERMILLE}"""
+
+
+@register("q15_ngram_jaccard_dedup", None)
+def q15_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by word-trigram Jaccard: shingle self-join + integer
+    permille threshold."""
+    from .operators import dedup
+
+    return dedup.jaccard_pairs(dedup.doc_shingles(_docs(spark, sf_dir), 3),
+                               min_permille=W.JACCARD_MIN_PERMILLE)
+
+
+ORACLES["q15_ngram_jaccard_dedup"] = _q15_sql()
+
+
+# --------------------------------------------------------------------- q16
+def _q16_sql() -> str:
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (SELECT doc_id, tok, {ot.token_hash_sql('tok')} AS h FROM dt),
+mh AS (
+  SELECT doc_id,
+         {ot.minhash_cols_sql()}
+  FROM th GROUP BY doc_id
+),
+bands AS ({ot.band_union_sql('mh')}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared_bands
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.shared_bands, COUNT(*) AS inter_cnt
+  FROM cand c
+  JOIN dt a ON a.doc_id = c.doc_a
+  JOIN dt b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY 1, 2, 3
+)
+SELECT i.doc_a, i.doc_b, i.shared_bands,
+       CAST(i.inter_cnt AS BIGINT) AS inter_cnt,
+       CAST(sa.n + sb.n - i.inter_cnt AS BIGINT) AS union_cnt,
+       CAST((i.inter_cnt * 1000) // (sa.n + sb.n - i.inter_cnt) AS BIGINT) AS jaccard_permille
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b"""
+
+
+@register("q16_minhash_lsh_dedup", None)
+def q16_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 fns) -> 4-band LSH bucketing -> exact unigram-Jaccard
+    verification of candidate pairs."""
+    from .operators import dedup
+
+    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir))
+
+
+ORACLES["q16_minhash_lsh_dedup"] = _q16_sql()
+
+
+# --------------------------------------------------------------------- q17
+def _q17_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (SELECT doc_id, ({ot.token_hash_sql('tok')} * {W.SIMHASH_SPREAD}) % {W.SIMHASH_MOD} AS h32 FROM t),
+sums AS (
+  SELECT doc_id,
+         {ot.simhash_sum_cols_sql()}
+  FROM th GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {ot.simhash_sig_sql()} AS simhash FROM sums),
+blocks AS (
+  SELECT doc_id, simhash, blk, (simhash // (CASE blk WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536 ELSE 16777216 END)) % 256 AS bval
+  FROM (SELECT *, unnest(generate_series(0, 3)) AS blk FROM sigs)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {W.SIMHASH_MAX_HAMMING}"""
+
+
+@register("q17_simhash_dedup", None)
+def q17_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit bit-vote signature, 8-bit block bucketing,
+    Hamming refine."""
+    from .operators import dedup
+
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+ORACLES["q17_simhash_dedup"] = _q17_sql()
+
+
+# --------------------------------------------------------------------- q18
+def _q18_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in W.STOPWORDS)
+    return f"""
+WITH tk AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, lang, source,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+       CAST((list_aggregate(list_transform(t, x -> length(x)), 'sum') * 100) // len(t) AS BIGINT) AS avg_tok_len_centi,
+       CAST((len(list_filter(t, x -> list_contains([{stop}], x))) * 1000) // len(t) AS BIGINT) AS stop_permille,
+       CASE WHEN len(t) >= 40 AND (len(list_filter(t, x -> list_contains([{stop}], x))) * 1000) // len(t) BETWEEN 20 AND 400 THEN 'good'
+            WHEN len(t) >= 15 THEN 'fair'
+            ELSE 'poor' END AS quality_class
+FROM tk"""
+
+
+@register("q18_text_quality", None)
+def q18_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token/char counts, distinct ratio, stopword
+    permille, heuristic class — all integer outputs, pure Catalyst."""
+    from .functions import text as T
+
+    stop = ", ".join(f"'{s}'" for s in W.STOPWORDS)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", "text", T.tokens(F.col("text")).alias("t"))
+    n_tok = F.size("t").cast("long")
+    sum_len = F.expr("aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)")
+    n_stop = F.expr(f"size(filter(t, x -> array_contains(array({stop}), x)))")
+    stop_pm = F.expr(f"CAST((size(filter(t, x -> array_contains(array({stop}), x))) * 1000) "
+                     f"DIV size(t) AS BIGINT)")
+    return d.select(
+        "doc_id", "lang", "source",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct_tokens"),
+        F.expr("CAST((aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x) * 100) "
+               "DIV size(t) AS BIGINT)").alias("avg_tok_len_centi"),
+        stop_pm.alias("stop_permille"),
+        F.when((n_tok >= 40) & stop_pm.between(20, 400), "good")
+         .when(n_tok >= 15, "fair").otherwise("poor").alias("quality_class"),
+    )
+
+
+ORACLES["q18_text_quality"] = _q18_sql()
+
+
+# --------------------------------------------------------------------- q19
+def _q19_sql() -> str:
+    score_cols = []
+    for lang in W.LANGS:
+        m = ", ".join(f"'{w}'" for w in W.LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(t, x -> list_contains([{m}], x))) AS BIGINT) AS s_{lang}")
+    # argmax with alphabetical tie-break
+    pred = "CASE "
+    for i, lang in enumerate(W.LANGS):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in W.LANGS[i + 1:])
+        pred += f"WHEN {conds or 'TRUE'} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+scored AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM tk)
+SELECT doc_id, lang, {', '.join('s_' + x for x in W.LANGS)},
+       {pred} AS predicted,
+       ({pred}) = lang AS is_correct
+FROM scored"""
+
+
+@register("q19_langid", None)
+def q19_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language token-hit scores,
+    argmax with deterministic alphabetical tie-break."""
+    from .functions import text as T
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.tokens(F.col("text")).alias("t"))
+    scores = {}
+    for lang in W.LANGS:
+        m = ", ".join(f"'{w}'" for w in W.LANG_MARKERS[lang])
+        scores[lang] = F.expr(
+            f"CAST(size(filter(t, x -> array_contains(array({m}), x))) AS BIGINT)")
+    d = d.select("doc_id", "lang",
+                 *[scores[lang].alias(f"s_{lang}") for lang in W.LANGS])
+    pred = None
+    for i, lang in enumerate(W.LANGS):
+        cond = F.lit(True)
+        for o in W.LANGS[i + 1:]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{o}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return d.select(
+        "doc_id", "lang", *[f"s_{lang}" for lang in W.LANGS],
+        pred.alias("predicted"), (pred == F.col("lang")).alias("is_correct"))
+
+
+ORACLES["q19_langid"] = _q19_sql()
+
+
+# --------------------------------------------------------------------- q20
+ORACLES["q20_fingerprint"] = """
+SELECT doc_id,
+       md5(lower(text)) AS fp_hex,
+       CAST(concat('0x', substring(md5(lower(text)), 1, 15)) AS BIGINT) AS fp60,
+       CAST(concat('0x', substring(md5(lower(text)), 1, 8)) AS BIGINT) AS fp32
+FROM documents"""
+
+
+@register("q20_fingerprint", None)
+def q20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash + 60/32-bit integer
+    projections (bucketing keys for sharded dedup at scale)."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.lower(F.col("text")))
+    return d.select(
+        "doc_id", h.alias("fp_hex"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp60"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("fp32"),
+    )
+
+
+# --------------------------------------------------------------------- q21
+def _q21_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+terms1 AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM e),
+nrm AS (SELECT vec_id, {ot.qdot_sql('embedding', 'embedding')} AS nrm
+        FROM terms1 GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS va, a.embedding AS ea, b.vec_id AS vb, b.embedding AS eb
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+pterms AS (SELECT va, vb, ea, eb, unnest(generate_series(1, 64)) AS i FROM pairs),
+dots AS (SELECT va, vb, {ot.qdot_sql('ea', 'eb')} AS dt FROM pterms GROUP BY va, vb),
+cosd AS (
+  SELECT d.va, d.vb, {ot.cos_nano_sql('d.dt', 'na.nrm', 'nb.nrm')} AS cos_nano
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb
+  WHERE na.nrm > 0 AND nb.nrm > 0
+),
+ranked AS (
+  SELECT va, vb, cos_nano,
+         ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos_nano DESC, vb) AS rank
+  FROM cosd
+)
+SELECT va AS vec_id, CAST(rank AS BIGINT) AS rank, vb AS neighbor_id, cos_nano
+FROM ranked WHERE rank <= {W.ANN_TOPK}"""
+
+
+@register("q21_embedding_topk", None)
+def q21_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (the exactness
+    baseline for ANN) — int64-quantized dot terms, deterministic ranking."""
+    from .operators import similarity
+
+    return similarity.brute_force_topk(_embs(spark, sf_dir), W.ANN_TOPK)
+
+
+ORACLES["q21_embedding_topk"] = _q21_sql()
+
+
+# --------------------------------------------------------------------- q22
+def _q22_sql() -> str:
+    plane_sums = []
+    for j in range(W.ANN_PLANES):
+        w = ot.plane_weight_sql(j, "(i - 1)")
+        plane_sums.append(
+            f"SUM(CAST(floor((CAST(embedding[i] AS DOUBLE) * {w}) * {oracle.fl(1.0e9)}) AS BIGINT)) AS p{j}")
+    bucket = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(W.ANN_PLANES))
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+terms1 AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM e),
+nrm AS (SELECT vec_id, {ot.qdot_sql('embedding', 'embedding')} AS nrm
+        FROM terms1 GROUP BY vec_id),
+projs AS (
+  SELECT vec_id, {', '.join(plane_sums)}
+  FROM terms1 GROUP BY vec_id
+),
+buckets AS (SELECT vec_id, {bucket} AS bucket FROM projs),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.bucket
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+cterms AS (
+  SELECT c.va, c.vb, ea.embedding AS ea, eb.embedding AS eb,
+         unnest(generate_series(1, 64)) AS i
+  FROM cand c JOIN e ea ON ea.vec_id = c.va JOIN e eb ON eb.vec_id = c.vb
+),
+dots AS (SELECT va, vb, {ot.qdot_sql('ea', 'eb')} AS dt FROM cterms GROUP BY va, vb),
+cosd AS (
+  SELECT d.va, d.vb, {ot.cos_nano_sql('d.dt', 'na.nrm', 'nb.nrm')} AS cos_nano
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb
+  WHERE na.nrm > 0 AND nb.nrm > 0
+),
+top1 AS (
+  SELECT va, vb, cos_nano,
+         ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos_nano DESC, vb) AS rank
+  FROM cosd
+)
+SELECT b.vec_id, b.bucket, t.vb AS neighbor_id, t.cos_nano
+FROM buckets b LEFT JOIN (SELECT * FROM top1 WHERE rank = 1) t ON t.va = b.vec_id"""
+
+
+@register("q22_lsh_ann", None)
+def q22_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 16-bit sign buckets, bucket equi-join
+    (the scale path replacing the all-pairs product), exact cosine re-rank."""
+    from .operators import similarity
+
+    return similarity.lsh_ann_top1(_embs(spark, sf_dir))
+
+
+ORACLES["q22_lsh_ann"] = _q22_sql()

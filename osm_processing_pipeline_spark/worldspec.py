@@ -154,6 +154,30 @@ SUPPRESS_M = 30.0               # conflict-zone window (04_conflict_zone_suppres
 TWIST_CUT_LO = 0.03
 TWIST_CUT_HI = 0.08
 
+# ------------------------------------------------------------- text / dedup
+TOKEN_HASH_BASE = 23
+TOKEN_HASH_CHARS = 12
+TOKEN_HASH_MOD = 1000003
+MINHASH_N = 16
+MINHASH_BANDS = 4          # 4 bands x 4 rows
+MINHASH_P = 2147483647
+SIMHASH_BITS = 32
+SIMHASH_SPREAD = 2654435761
+SIMHASH_MOD = 1 << 32
+SIMHASH_MAX_HAMMING = 6
+JACCARD_MIN_PERMILLE = 200
+STOPWORDS = ["a", "the"]
+LANGS = ["de", "en", "es", "fr", "zh"]
+LANG_MARKERS = {
+    "en": ["the", "a", "table"],
+    "de": ["data", "row", "fast"],
+    "fr": ["query", "line", "sort"],
+    "es": ["value", "part", "big"],
+    "zh": ["hash", "merge", "batch"],
+}
+ANN_TOPK = 3
+ANN_PLANES = 16
+
 # kNN / endpoint-proximity
 KNN_K = 3
 ENDPOINT_DIST_DEG = 0.001953125  # 4/2048 — HAdj 50m-equiv (07_assign...sql:63-97)
