@@ -1147,3 +1147,216 @@ def q22_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q22_lsh_ann"] = _q22_sql()
+
+
+# ------------------------------------------------------ relational / events
+ORACLES["q23_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_qty_centi,
+       CAST(SUM(CAST(floor((l_extendedprice * (1.0e0 - l_discount)) * 100.0e0) AS BIGINT)) AS BIGINT) AS revenue_centi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+@register("q23_pricing_summary", None)
+def q23_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style grouped conditional aggregation (TPC-H Q1 shape) with
+    cent-quantized money so sums are exact and order-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") < "1997-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long"))
+             .cast("long").alias("sum_qty_centi"),
+            F.sum(F.floor((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                          * F.lit(100.0)).cast("long")).cast("long").alias("revenue_centi"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q24
+ORACLES["q24_top_customers"] = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         SUM(CAST(floor((l.l_extendedprice * (1.0e0 - l.l_discount)) * 100.0e0) AS BIGINT)) AS revenue_centi,
+         COUNT(DISTINCT o.o_orderkey) AS n_orders
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+ranked AS (
+  SELECT c.c_custkey, c.c_name, r.revenue_centi, r.n_orders,
+         ROW_NUMBER() OVER (ORDER BY r.revenue_centi DESC, c.c_custkey) AS rank
+  FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+)
+SELECT CAST(rank AS BIGINT) AS rank, c_custkey, c_name,
+       CAST(revenue_centi AS BIGINT) AS revenue_centi,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM ranked WHERE rank <= 10"""
+
+
+@register("q24_top_customers", None)
+def q24_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by revenue across a 3-way join (broadcast dims, deterministic
+    tie-break)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                          * F.lit(100.0)).cast("long")).alias("revenue_centi"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue_centi").desc(), F.col("c_custkey").asc())
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("rank").cast("long").alias("rank"), "c_custkey", "c_name",
+                F.col("revenue_centi").cast("long").alias("revenue_centi"),
+                F.col("n_orders").cast("long").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------- q25
+ORACLES["q25_events_tumbling"] = """
+SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS BIGINT) AS hour_bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(floor(value * 1000.0e0) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY 1, 2"""
+
+
+@register("q25_events_tumbling", None)
+def q25_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (the batch twin of the streaming
+    windowed agg in streaming/jobs.py)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hour_bucket"),
+            "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.countDistinct("user_id").cast("long").alias("n_users"),
+             F.sum(F.floor(F.col("value") * F.lit(1000.0)).cast("long"))
+              .cast("long").alias("sum_value_milli"))
+    )
+
+
+# --------------------------------------------------------------------- q26
+ORACLES["q26_sessionization"] = """
+WITH seq AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_es
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+marked AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+sess AS (
+  SELECT user_id, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, session_idx, COUNT(*) AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id"""
+
+
+@register("q26_sessionization", None)
+def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap + running sum (gap 30 min, deterministic
+    (ts, event_id) ordering)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.col("ts"),
+        F.unix_timestamp("ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "new_s",
+        F.when(F.lag("es").over(w).isNull()
+               | (F.col("es") - F.lag("es").over(w) > 1800), 1).otherwise(0))
+    w2 = Window.partitionBy("user_id").orderBy("es", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("session_idx", F.sum("new_s").over(w2))
+    per = sess.groupBy("user_id", "session_idx").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("n").cast("long").alias("max_session_events"))
+
+
+# --------------------------------------------------------------------- q27
+def _q27_sql() -> str:
+    ppc = W.PX_PER_CELL
+    fl = oracle.fl
+    pdr = f"LEAST(pop_sum / {fl(W.POP_SAT_CELL)}, {fl(1.0)})"
+    bur = f"LEAST(built_sum / {fl(W.BUILT_SAT_CELL)}, {fl(1.0)})"
+    pressure = f"({fl(1.0)} - ({fl(1.0)} - {pdr}) * ({fl(1.0)} - {bur}))"
+    return f"""WITH RECURSIVE {_pixels_cte()},
+cellsums AS (
+  SELECT (py // {ppc}) * {W.NX} + (px // {ppc}) AS grid_id,
+         CAST(SUM(pop) AS BIGINT) AS pop_sum, CAST(SUM(built) AS BIGINT) AS built_sum
+  FROM pixvals GROUP BY 1
+),
+urban AS (SELECT grid_id FROM cellsums WHERE {pressure} >= {fl(W.PRESSURE_URBAN)}),
+edges AS (
+  SELECT a.grid_id AS a, b.grid_id AS b
+  FROM urban a JOIN urban b ON
+    (b.grid_id = a.grid_id - 1 AND a.grid_id % {W.NX} != 0) OR
+    (b.grid_id = a.grid_id + 1 AND a.grid_id % {W.NX} != {W.NX - 1}) OR
+    b.grid_id = a.grid_id - {W.NX} OR b.grid_id = a.grid_id + {W.NX}
+),
+reach(a, b) AS (
+  SELECT grid_id, grid_id FROM urban
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+),
+comp AS (SELECT a AS grid_id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT c.grid_id, c.component,
+       CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS component_size
+FROM comp c"""
+
+
+@register("q27_urban_clusters", None)
+def q27_urban_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: connected components over urban-cell 4-adjacency (ST_Cluster*
+    analogue) via iterative min-label propagation to exact fixpoint."""
+    from pyspark.sql import Window
+
+    from .operators import clusters, zonal
+    from .sources.raster import raster_tiles
+
+    press = zonal.urban_pressure(zonal.zonal_cell_sums(raster_tiles(spark)))
+    urban = press.filter(F.col("pressure_class") == "urban").select("grid_id")
+    comp = clusters.connected_components(urban)
+    w = Window.partitionBy("component")
+    return comp.select(
+        "grid_id", "component",
+        F.count("*").over(w).cast("long").alias("component_size"))
+
+
+ORACLES["q27_urban_clusters"] = _q27_sql()

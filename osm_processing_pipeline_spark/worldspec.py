@@ -139,8 +139,10 @@ URBAN_POP_BOOST = 400
 # binary tile payloads, the oracle recomputes the closed form):
 #   pop(px,py)   = ((px*37 + py*73) % 100) + (urban-core px window ? 400 : 0)
 #   built(px,py) = ((px*91 + py*17) % 50)
-POP_SAT_CELL = 16384.0      # per-cell saturation (pd_sat analogue, 50k ppl/km2)
-BUILT_SAT_CELL = 1600.0
+# per-cell saturations (pd_sat analogue, 50k ppl/km2): tuned so the boosted
+# urban-core cells saturate (~0.88) while background cells stay ~0.2
+POP_SAT_CELL = 32768.0
+BUILT_SAT_CELL = 12800.0
 # urban pressure thresholds (sql/urban_pressure/07_classify_urban_class.sql:8-15)
 PRESSURE_URBAN = 0.25
 PRESSURE_SEMI = 0.10
