@@ -1,0 +1,76 @@
+"""Streaming twin, multimodal plumbing, and salting equivalence tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_processing_pipeline_spark.datagen import world
+from osm_processing_pipeline_spark.multimodal import media as M
+from osm_processing_pipeline_spark.operators import skew, spatial_join
+from osm_processing_pipeline_spark.sources import documents as D
+from osm_processing_pipeline_spark.streaming import jobs as SJ
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    # FileStreamSource requires a directory of files
+    import shutil
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-0.parquet")
+    streamed = SJ.run_events_stream_available_now(
+        spark, str(d), "t_stream_agg").toPandas()
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy(F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hour_bucket"),
+                 "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum(F.floor(F.col("value") * F.lit(1000.0)).cast("long"))
+              .cast("long").alias("sum_value_milli"))
+    ).toPandas()
+    key = ["hour_bucket", "event_type"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b) > 0
+    assert (s[["n_events", "sum_value_milli"]].values
+            == b[["n_events", "sum_value_milli"]].values).all()
+
+
+def test_media_pipeline_plumbing(spark):
+    roads = world.roads_materialized(spark, SF_SMOKE)
+    docs = D.parse_road_documents(D.encode_road_documents(roads))
+    with_media = docs.filter(F.col("has_image"))
+    media = M.media_table(with_media)
+    feats = M.image_features(media).toPandas()
+    assert len(feats) == with_media.count() > 0
+    assert (feats.width.values >= 8).all() and (feats.width.values <= 16).all()
+    # determinism: same media_ref -> same checksum
+    f2 = M.image_features(media).toPandas()
+    a = feats.sort_values("media_ref").reset_index(drop=True)
+    b = f2.sort_values("media_ref").reset_index(drop=True)
+    assert (a.px_checksum.values == b.px_checksum.values).all()
+
+    resized = M.resize_images(media, 4, 4).toPandas()
+    w = np.frombuffer(resized.payload.iloc[0][:4], "<i4")[0]
+    h = np.frombuffer(resized.payload.iloc[0][4:8], "<i4")[0]
+    assert (w, h) == (4, 4)
+    assert len(resized.payload.iloc[0]) == 8 + 16
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M._decode_real(b"\x00")
+
+
+def test_salted_distinct_count_equals_naive(spark):
+    r = world.roads_materialized(spark, SF_SMOKE)
+    s = world.segments(spark, SF_SMOKE, r)
+    g = world.grids(spark)
+    pieces = spatial_join.segment_cell_pieces(s, g).select("grid_id", "osm_id")
+    naive = pieces.groupBy("grid_id").agg(
+        F.countDistinct("osm_id").cast("long").alias("n_distinct")).toPandas()
+    salted = skew.salted_distinct_count(pieces, "grid_id", "osm_id").toPandas()
+    a = naive.sort_values("grid_id").reset_index(drop=True)
+    b = salted.sort_values("grid_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a.n_distinct.values == b.n_distinct.values).all()
