@@ -40,9 +40,49 @@ def cell_neighbors(cells: DataFrame) -> DataFrame:
     return edges.join(cells.select(F.col("grid_id").alias("nbr")), "nbr", "left_semi")
 
 
-def connected_components(cells: DataFrame, max_iters: int = 64) -> DataFrame:
+def connected_components(cells: DataFrame, max_iters: int = 64,
+                         driver_threshold: int = 200_000) -> DataFrame:
     """cells(grid_id) -> (grid_id, component) with component = min cell id
-    reachable; exact fixpoint."""
+    reachable; exact fixpoint.
+
+    Small inputs (the common case after the urban filter — SURVEY.md W6:
+    "small data: collect cell ids to driver, union-find") take the exact
+    driver union-find path, mirroring the reference's driver-side global
+    reductions (persona_v2_run.py:264-339); large inputs iterate
+    distributed min-label propagation."""
+    cells = cells.persist()
+    n = cells.count()
+    out = (_driver_union_find(cells) if n <= driver_threshold
+           else _iterative_components(cells, max_iters))
+    return out
+
+
+def _driver_union_find(cells: DataFrame) -> DataFrame:
+    ids = sorted(r[0] for r in cells.select("grid_id").collect())
+    idset = set(ids)
+    parent = {g: g for g in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for g in ids:
+        i, j = g % W.NX, g // W.NX
+        for nb in (g - 1 if i > 0 else None, g + 1 if i < W.NX - 1 else None,
+                   g - W.NX if j > 0 else None, g + W.NX if j < W.NY - 1 else None):
+            if nb is not None and nb in idset:
+                ra, rb = find(g), find(nb)
+                if ra != rb:
+                    # union by min id so the component label is the min cell
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    rows = [(g, find(g)) for g in ids]
+    return cells.sparkSession.createDataFrame(rows, "grid_id long, component long")
+
+
+def _iterative_components(cells: DataFrame, max_iters: int) -> DataFrame:
     edges = cell_neighbors(cells).localCheckpoint(eager=True)
     labels = cells.select("grid_id", F.col("grid_id").alias("component")) \
                   .localCheckpoint(eager=True)

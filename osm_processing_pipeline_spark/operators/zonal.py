@@ -52,7 +52,9 @@ def zonal_cell_sums(tiles: DataFrame) -> DataFrame:
                 "built_sum": builts.reshape(-1),
             })
 
-    return tiles.mapInPandas(kernel, schema="grid_id long, pop_sum long, built_sum long")
+    # few fat Arrow batches beat many worker spin-ups for this kernel
+    return tiles.coalesce(8).mapInPandas(
+        kernel, schema="grid_id long, pop_sum long, built_sum long")
 
 
 def sample_points(tiles: DataFrame, pts: DataFrame) -> DataFrame:

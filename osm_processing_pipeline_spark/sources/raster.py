@@ -44,7 +44,20 @@ def built_values(px: np.ndarray, py: np.ndarray) -> np.ndarray:
 
 
 def raster_tiles(spark: SparkSession) -> DataFrame:
-    """(tile_id, tx, ty, pop_data binary, built_data binary)."""
+    """(tile_id, tx, ty, pop_data binary, built_data binary) — materialized
+    once (the tile table is input data, an Iceberg table at scale)."""
+    import os
+
+    from ..datagen.world import CACHE_DIR
+
+    path = f"{CACHE_DIR}/raster_tiles.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _raster_tiles_gen(spark).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _raster_tiles_gen(spark: SparkSession) -> DataFrame:
+    """Arrow-batched deterministic tile synthesis."""
 
     def gen(batches):
         for pdf in batches:
