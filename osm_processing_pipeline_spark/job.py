@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
               f"skipped={len(res['skipped'])} rows={res['rows']}", file=sys.stderr)
         return 0
 
+    if args.query not in registry.QUERIES:
+        print(f"unknown query {args.query!r}; available: "
+              f"{', '.join(sorted(registry.QUERIES))}", file=sys.stderr)
+        return 2
     t0 = time.time()
     df = registry.QUERIES[args.query](spark, args.sf_dir)
     if args.out:

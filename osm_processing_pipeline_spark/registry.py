@@ -1360,3 +1360,302 @@ def q27_urban_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q27_urban_clusters"] = _q27_sql()
+
+
+# --------------------------------------------------------------------- q28
+def _sql_hier(col: str = "highway") -> str:
+    whens = " ".join(f"WHEN '{h}' THEN {r}" for h, r in W.HIERARCHY.items())
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+def _q28_sql() -> str:
+    fl = oracle.fl
+    top = ", ".join(f"'{h}'" for h in W.DEGRADE_TOP_HW)
+    base = (f"CASE WHEN n_ways >= 4 THEN {fl(W.DEGRADE_RED['major'])} "
+            f"WHEN n_ways = 3 THEN {fl(W.DEGRADE_RED['three_way'])} "
+            f"ELSE {fl(W.DEGRADE_RED['crossing'])} END")
+    lenm = og.seg_len_m()
+    return f"""{oracle.with_world('verts', 'segs')},
+node_stats AS (
+  SELECT node_id,
+         COUNT(DISTINCT osm_id) AS n_ways,
+         COUNT(DISTINCT highway) AS n_types,
+         MAX(CASE WHEN k > 0 AND k < nv - 1 THEN 1 ELSE 0 END) AS mid
+  FROM verts GROUP BY node_id
+),
+qual AS (
+  SELECT node_id, n_ways FROM node_stats
+  WHERE n_ways >= 2 AND (n_ways >= 3 OR n_types >= 2 OR mid = 1)
+),
+nt AS (SELECT DISTINCT node_id, highway FROM verts),
+ranked AS (
+  SELECT node_id, highway,
+         ROW_NUMBER() OVER (PARTITION BY node_id
+                            ORDER BY {_sql_hier()} DESC, highway ASC) AS rn
+  FROM nt
+),
+top AS (
+  SELECT node_id, MAX(CASE WHEN rn = 1 THEN highway END) AS road_type_1
+  FROM ranked WHERE rn <= 2 GROUP BY node_id
+),
+nodes AS (
+  SELECT q.node_id,
+         CASE WHEN t.road_type_1 IN ({top}) THEN ({base}) * 2 ELSE {base} END AS red
+  FROM qual q JOIN top t USING (node_id)
+),
+wn AS (SELECT DISTINCT osm_id, node_id FROM verts),
+per_way AS (
+  SELECT osm_id, COUNT(*) AS n_int,
+         MAX(CAST(round(red * {fl(W.LEN_Q)}) AS BIGINT)) AS max_red_ppm,
+         SUM(CAST(round(red * {fl(W.LEN_Q)}) AS BIGINT)) AS sum_red_ppm,
+         list_sort(list({fl(1.0)} - red)) AS omr
+  FROM wn JOIN nodes USING (node_id) GROUP BY osm_id
+),
+totals AS (
+  SELECT osm_id, SUM({og.quantize_um(lenm)}) AS total_len_um FROM segs GROUP BY osm_id
+)
+SELECT p.osm_id, CAST(n_int AS BIGINT) AS n_int, max_red_ppm, sum_red_ppm,
+       CAST(total_len_um AS BIGINT) AS total_len_um,
+       CAST(CASE WHEN total_len_um >= {W.DEGRADE_LEN_UM} THEN sum_red_ppm // n_int
+            ELSE CAST(round(({fl(1.0)} - list_reduce(omr, (a, b) -> a * b))
+                            * {fl(W.LEN_Q)}) AS BIGINT) END AS BIGINT) AS final_red_ppm
+FROM per_way p JOIN totals USING (osm_id)"""
+
+
+@register("q28_intersection_degradation", None)
+def q28_intersection_degradation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+W3: per-way intersection speed degradation — weighted-average vs
+    sorted-fold multiplicative stacking 1-PROD(1-r)
+    (03_calculate_base_degradation_v2.sql:16-69)."""
+    from .operators import scoring
+
+    r = world.roads_materialized(spark, sf_dir)
+    wn = world.way_nodes(spark, sf_dir, r)
+    s = world.segments(spark, sf_dir, r)
+    return scoring.intersection_degradation(wn, s)
+
+
+ORACLES["q28_intersection_degradation"] = _q28_sql()
+
+
+# --------------------------------------------------------------------- q29
+def _sql_parse_lanes() -> str:
+    return (f"CASE WHEN lanes IS NOT NULL AND regexp_matches(lanes, '^[0-9]+$') "
+            f"THEN LEAST(CAST(lanes AS INT), {W.LANES_CAP}) "
+            f"WHEN lanes IS NOT NULL AND regexp_matches(lanes, '^[0-9]+-[0-9]+$') "
+            f"THEN CAST(split_part(lanes, '-', 2) AS INT) "
+            f"ELSE {W.LANES_DEFAULT} END")
+
+
+def _q29_sql() -> str:
+    hw = " ".join(f"WHEN '{h}' THEN {v}" for h, v in W.PERSONA_HW_PTS.items())
+    paved = ", ".join(f"'{s}'" for s in W.PAVED)
+    bik = ", ".join(f"'{h}'" for h in W.BIKABLE)
+    score = (f"CASE highway {hw} ELSE 0 END "
+             f"+ CASE WHEN surface IN ({paved}) THEN {W.PERSONA_PAVED_PTS} ELSE 0 END "
+             f"+ CASE WHEN oneway IS NOT NULL THEN {W.PERSONA_ONEWAY_PTS} ELSE 0 END "
+             f"+ CASE WHEN highway IN ({bik}) THEN {W.PERSONA_BIKABLE_PTS} ELSE 0 END "
+             f"+ ({_sql_parse_lanes()}) * {W.PERSONA_LANE_PTS}")
+    return f"""{oracle.with_world('roads_base')},
+scored AS (
+  SELECT osm_id, highway, CAST({score} AS BIGINT) AS base_score FROM roads_base
+),
+b AS (SELECT MIN(base_score) AS mn, MAX(base_score) AS mx FROM scored)
+SELECT osm_id, highway, base_score,
+       CAST(CASE WHEN mx > mn THEN ((base_score - mn) * 10000) // (mx - mn)
+            ELSE 0 END AS BIGINT) AS norm_bp
+FROM scored, b"""
+
+
+@register("q29_persona_normalized", None)
+def q29_persona_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: persona base scores + two-pass global min/max normalization
+    (driver collects bounds, folds back as literals —
+    persona_v2_run.py:264-339, 03_normalize_persona_scores.sql:25-63)."""
+    from .operators import scoring
+
+    return scoring.persona_scores(world.roads_materialized(spark, sf_dir))
+
+
+ORACLES["q29_persona_normalized"] = _q29_sql()
+
+
+# --------------------------------------------------------------------- q30
+def _q30_sql() -> str:
+    n, k = W.RASTER_PX, len(W.WCLASSES)
+    px = f"GREATEST(0, LEAST({n - 1}, CAST(floor(lon * {n}) AS BIGINT)))"
+    py = f"GREATEST(0, LEAST({n - 1}, CAST(floor(lat * {n}) AS BIGINT)))"
+    cnt_cols = ",\n         ".join(
+        f"SUM(CASE WHEN wc = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(k))
+    arg = "CASE "
+    for i in range(k):
+        conds = " AND ".join(f"c{i} >= c{j}" for j in range(i + 1, k)) or "TRUE"
+        arg += f"WHEN {conds} THEN '{W.WCLASSES[i]}' "
+    arg += "END"
+    best = f"GREATEST({', '.join(f'c{i}' for i in range(k))})"
+    flags = ",\n       ".join(
+        f"c{i} * 20 >= tot * 7 AS is_{name}, CAST(c{i} AS BIGINT) AS n_{name}"
+        for i, name in enumerate(W.WCLASSES))
+    return f"""{oracle.with_world('verts')},
+wcs AS (
+  SELECT osm_id,
+         (({px}) * {W.WC_MUL_X} + ({py}) * {W.WC_MUL_Y}) % {k} AS wc
+  FROM verts
+),
+per AS (
+  SELECT osm_id, COUNT(*) AS tot,
+         {cnt_cols}
+  FROM wcs GROUP BY osm_id
+)
+SELECT osm_id, CAST(tot AS BIGINT) AS n_samples,
+       CASE WHEN {best} * 5 >= tot * 4 THEN {arg} ELSE 'mixed' END AS primary_class,
+       {flags}
+FROM per"""
+
+
+@register("q30_dominant_class", None)
+def q30_dominant_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: WorldCover dominant-class argmax, 0.8 primary gate + 0.35 flags
+    as exact integer cross-multiplications (03_scenery_v2_classify.sql:26-83)."""
+    from .operators import scoring
+
+    return scoring.dominant_class(world.roads_materialized(spark, sf_dir))
+
+
+ORACLES["q30_dominant_class"] = _q30_sql()
+
+
+# --------------------------------------------------------------------- q31
+def _q31_sql() -> str:
+    base = " ".join(f"WHEN '{h}' THEN {v}" for h, v in W.SPEED_BASE.items())
+    surf = " ".join(f"WHEN '{s}' THEN {p}" for s, p in W.SPEED_SURFACE_PCT.items()
+                    if s is not None)
+    lanes = _sql_parse_lanes()
+    return f"""{oracle.with_world('roads_base')},
+parsed AS (
+  SELECT osm_id, highway, surface,
+         CAST({lanes} AS BIGINT) AS lanes_parsed,
+         CAST(CASE highway {base} ELSE 0 END AS BIGINT) AS base_kph,
+         CAST(CASE surface {surf} ELSE {W.SPEED_SURFACE_PCT[None]} END AS BIGINT) AS surf_pct
+  FROM roads_base
+)
+SELECT osm_id, highway, surface, lanes_parsed, base_kph,
+       CAST((base_kph * surf_pct *
+             CASE WHEN lanes_parsed >= {W.SPEED_LANE_MIN}
+                  THEN {100 + W.SPEED_LANE_BONUS_PCT} ELSE 100 END) // 10000
+            AS BIGINT) AS speed_kph
+FROM parsed"""
+
+
+@register("q31_avg_speed", None)
+def q31_avg_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 + speed ladder: regex lane parsing, highway base x surface pct x
+    lane bonus, all-integer (avg_speed_kph_run.py:226-330)."""
+    from .operators import scoring
+
+    return scoring.avg_speed(world.roads_materialized(spark, sf_dir))
+
+
+ORACLES["q31_avg_speed"] = _q31_sql()
+
+
+# --------------------------------------------------------------------- q32
+def _q32_sql() -> str:
+    lenm = og.seg_len_m("px_lon", "px_lat", "lon", "lat")
+    rt = _sql_road_type("v")
+    parts = []
+    for zoom, t, stride in W.ZOOMS:
+        tx = f"GREATEST(0, LEAST({t - 1}, CAST(floor(rep_lon * {t}) AS BIGINT)))"
+        ty = f"GREATEST(0, LEAST({t - 1}, CAST(floor(rep_lat * {t}) AS BIGINT)))"
+        parts.append(f"""
+SELECT CAST({zoom} AS BIGINT) AS zoom,
+       ({ty}) * {t} + ({tx}) AS tile_id,
+       s.osm_id, s.highway, s.road_type,
+       s.n_pts_full, s.n_pts, s.simplified_len_um
+FROM (
+  SELECT v.osm_id, ANY_VALUE(v.highway) AS highway, ANY_VALUE({rt}) AS road_type,
+         ANY_VALUE(v.nv) AS nv,
+         CAST(ANY_VALUE(v.nv) AS BIGINT) AS n_pts_full,
+         CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(COALESCE(SUM(CASE WHEN px_lon IS NULL THEN 0
+                            ELSE {og.quantize_um(lenm)} END), 0) AS BIGINT)
+           AS simplified_len_um
+  FROM (
+    SELECT *,
+           LAG(lon) OVER (PARTITION BY osm_id ORDER BY k) AS px_lon,
+           LAG(lat) OVER (PARTITION BY osm_id ORDER BY k) AS px_lat
+    FROM verts WHERE k % {stride} = 0 OR k = nv - 1
+  ) v
+  GROUP BY v.osm_id
+) s
+JOIN (SELECT osm_id, lon AS rep_lon, lat AS rep_lat FROM verts WHERE k = nv // 2) r
+  ON r.osm_id = s.osm_id""")
+    return (f"{oracle.with_world('verts')}\n"
+            + "\nUNION ALL\n".join(parts))
+
+
+@register("q32_vector_tiles", None)
+def q32_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: per-zoom vector-tile materialization — tile assignment + endpoint-
+    preserving vertex decimation + simplified length
+    (vis_persona_v2_normalised_z10.sql:44-66)."""
+    from .operators import tiles
+
+    return tiles.vector_tiles(world.roads_materialized(spark, sf_dir))
+
+
+ORACLES["q32_vector_tiles"] = _q32_sql()
+
+
+# --------------------------------------------------------------------- q33
+def _q33_sql() -> str:
+    lenm = og.seg_len_m()
+    return f"""{oracle.with_world('segs')},
+totals AS (
+  SELECT s.osm_id, ANY_VALUE(s.highway) AS highway,
+         SUM({og.quantize_um(lenm)}) AS total_len_um
+  FROM segs s GROUP BY s.osm_id
+),
+ranked AS (
+  SELECT highway, total_len_um,
+         ROW_NUMBER() OVER (PARTITION BY highway
+                            ORDER BY total_len_um, osm_id) AS rn,
+         COUNT(*) OVER (PARTITION BY highway) AS n
+  FROM totals
+)
+SELECT highway,
+       CAST(MAX(n) AS BIGINT) AS n_roads,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN total_len_um END) AS BIGINT) AS median_len_um,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN total_len_um END) AS BIGINT) AS p90_len_um
+FROM ranked GROUP BY highway"""
+
+
+@register("q33_length_percentiles", None)
+def q33_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9: per-class discrete percentiles (rank-based, exact) — the
+    validation-pack summary stats (99_validation.sql:20-28)."""
+    from pyspark.sql import Window
+
+    from .functions import geometry as G
+
+    s = world.segments(spark, sf_dir)
+    totals = s.groupBy("osm_id").agg(
+        F.first("highway").alias("highway"),
+        F.sum(G.quantize_len_um(
+            G.seg_len_m(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+        )).alias("total_len_um"))
+    w = Window.partitionBy("highway").orderBy("total_len_um", "osm_id")
+    wc = Window.partitionBy("highway")
+    ranked = totals.select(
+        "highway", "total_len_um",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"))
+    return ranked.groupBy("highway").agg(
+        F.max("n").cast("long").alias("n_roads"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("total_len_um"))).cast("long").alias("median_len_um"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                     F.col("total_len_um"))).cast("long").alias("p90_len_um"))
+
+
+ORACLES["q33_length_percentiles"] = _q33_sql()

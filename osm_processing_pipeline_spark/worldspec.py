@@ -188,6 +188,55 @@ ENDPOINT_DIST_DEG = 0.001953125  # 4/2048 — HAdj 50m-equiv (07_assign...sql:63
 # aggregation so sums are exact and order-independent in both engines.
 LEN_Q = 1.0e6
 
+# ------------------------------------------- derived scoring (Parts 5/6)
+# Intersection speed degradation (sql/road_intersection_density/
+# 03_calculate_base_degradation_v2.sql:16-69, 04_calculate_final_*.sql:30-60):
+# per-intersection speed reduction by category, doubled when the dominant
+# road type at the node is high-hierarchy.  All values are exact binary
+# fractions so cross-engine float products are bit-identical.
+DEGRADE_RED = {"major": 0.25, "three_way": 0.125, "crossing": 0.0625}
+DEGRADE_TOP_HW = ["motorway", "trunk", "primary"]   # doubles the reduction
+DEGRADE_LEN_M = 500.0       # >= this way length -> weighted-average branch
+DEGRADE_LEN_UM = int(DEGRADE_LEN_M * LEN_Q)
+
+# Persona scoring (sql/road_persona_v2/01_compute_parameter_scores.sql,
+# 03_normalize_persona_scores.sql:25-63): integer base points + two-pass
+# global min/max normalization to basis points.
+PERSONA_HW_PTS = {h: (len(HIGHWAYS) - i) * 10 for i, h in enumerate(HIGHWAYS)}
+PERSONA_PAVED_PTS = 15
+PERSONA_ONEWAY_PTS = 5
+PERSONA_BIKABLE_PTS = 20
+PERSONA_LANE_PTS = 7
+LANES_CAP = 8               # parse_lanes sanity cap
+LANES_DEFAULT = 2
+
+# Average-speed CASE ladder (scripts/dev-runs/avg_speed_kph_run.py:226-330):
+# integer base kph by highway x surface multiplier (percent) x lane bonus.
+SPEED_BASE = {
+    "motorway": 100, "trunk": 90, "primary": 80, "secondary": 65,
+    "tertiary": 55, "residential": 40, "unclassified": 45, "service": 30,
+    "track": 25, "path": 15, "footway": 10, "cycleway": 20,
+}
+SPEED_SURFACE_PCT = {
+    None: 90, "asphalt": 100, "paved": 100, "concrete": 95,
+    "gravel": 70, "dirt": 55,
+}
+SPEED_LANE_BONUS_PCT = 10   # lanes_parsed >= 4
+SPEED_LANE_MIN = 4
+
+# WorldCover-ish dominant-class (sql/road_scenery_v2/03_scenery_v2_classify.sql:
+# 26-83): pixel class = (px*13 + py*29) % 5; primary gate 0.8, flags 0.35 —
+# evaluated as exact integer cross-multiplications (cnt*5 >= tot*4, cnt*20 >= tot*7).
+WCLASSES = ["tree", "shrub", "grass", "crop", "built"]
+WC_MUL_X = 13
+WC_MUL_Y = 29
+
+# Vector-tile materialization (sql/visualization/vis_*_z10.sql:44-66):
+# (zoom, tiles_per_axis, vertex-decimation stride).  Decimation keeps every
+# stride-th vertex plus the final vertex — the deterministic stand-in for
+# ST_SimplifyPreserveTopology at each zoom.
+ZOOMS = [(6, 16, 4), (10, 64, 2)]
+
 
 def grid_class_bounds() -> tuple[float, float, float, float]:
     """(urban_lo, urban_hi, semi_lo, semi_hi) for cell-center class tests."""
