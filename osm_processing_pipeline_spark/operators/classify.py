@@ -34,7 +34,14 @@ def road_type(ref: Column, highway: Column) -> Column:
 
 
 def classify_roads(roads: DataFrame, segs: DataFrame, grid: DataFrame) -> DataFrame:
-    """The flagship query: road x grid spatial join -> per-road class rollup."""
+    """The flagship query: road x grid spatial join -> per-road class rollup.
+
+    Shuffle budget (scale-critical): exactly one wide agg (pieces ->
+    per-road) plus the final left join.  Road total length is folded
+    narrowly over the nested vertex array — integer micrometre sums are
+    order-independent, so this equals the old segs.groupBy(osm_id) rollup
+    while removing an entire 10^12-row shuffle + join at scale.
+    """
     pieces = segment_cell_pieces(segs, grid)
     per_road = pieces.groupBy("osm_id").agg(
         F.countDistinct("grid_id").alias("n_cells"),
@@ -45,14 +52,19 @@ def classify_roads(roads: DataFrame, segs: DataFrame, grid: DataFrame) -> DataFr
         F.sum(F.when(F.col("grid_class") == "Rural", F.col("piece_um"))
               .otherwise(F.lit(0))).alias("rural_len_um"),
     )
-    totals = segs.groupBy("osm_id").agg(
-        F.sum(G.quantize_len_um(
-            G.seg_len_m(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
-        )).alias("total_len_um"))
+    pairs = F.arrays_zip(
+        F.slice("vertices", 1, F.size("vertices") - 1).alias("a"),
+        F.expr("slice(vertices, 2, size(vertices) - 1)").alias("b"),
+    )
+    total = F.aggregate(
+        pairs, F.lit(0).cast("long"),
+        lambda acc, p: acc + G.quantize_len_um(
+            G.seg_len_m(p["a"]["lon"], p["a"]["lat"],
+                        p["b"]["lon"], p["b"]["lat"])))
 
     out = (
-        roads.select("osm_id", "highway", "ref")
-        .join(totals, "osm_id", "left")
+        roads.select("osm_id", "highway", "ref",
+                     total.alias("total_len_um"))
         .join(per_road, "osm_id", "left")
     )
     n_cells = F.coalesce(F.col("n_cells"), F.lit(0))

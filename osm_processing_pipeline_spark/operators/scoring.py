@@ -68,11 +68,18 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
     ways the multiplicative stack ``1 - PROD(1 - r)`` (computed as a sorted
     fold so the float product is deterministic).
     """
-    stats = way_nodes.groupBy("node_id").agg(
-        F.countDistinct("way_id").alias("n_ways"),
-        F.countDistinct("highway").alias("n_types"),
+    # Two-phase aggregate: dedup to (node, way) first so the node-level pass
+    # needs only ONE distinct (highway) — avoids Catalyst's Expand (x3 rows
+    # shuffled) that a double countDistinct costs.  A way has one highway,
+    # so count(*) after the dedup == countDistinct(way_id).
+    per_edge = way_nodes.groupBy("node_id", "way_id").agg(
+        F.first("highway").alias("highway"),
         F.max(F.when((F.col("seq") > 0) & (F.col("seq") < F.col("nv") - 1), 1)
-              .otherwise(0)).alias("mid"),
+              .otherwise(0)).alias("mid"))
+    stats = per_edge.groupBy("node_id").agg(
+        F.count("*").alias("n_ways"),
+        F.countDistinct("highway").alias("n_types"),
+        F.max("mid").alias("mid"),
     ).filter(
         (F.col("n_ways") >= 2)
         & ((F.col("n_ways") >= 3) | (F.col("n_types") >= 2) | (F.col("mid") == 1))

@@ -384,11 +384,16 @@ def q07_intersection_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (01_find_and_categorize_intersections_v2.sql:52-73): >=2 distinct ways AND
     (>=3 ways OR >=2 road types OR a mid-way crossing)."""
     wn = world.way_nodes(spark, sf_dir)
-    stats = wn.groupBy("node_id").agg(
-        F.countDistinct("way_id").alias("n_ways"),
-        F.countDistinct("highway").alias("n_types"),
+    # two-phase: dedup (node, way) first -> single distinct at node level
+    # (no Expand; see operators/scoring.intersection_degradation)
+    per_edge = wn.groupBy("node_id", "way_id").agg(
+        F.first("highway").alias("highway"),
         F.max(F.when((F.col("seq") > 0) & (F.col("seq") < F.col("nv") - 1), 1)
-              .otherwise(0)).alias("mid"),
+              .otherwise(0)).alias("mid"))
+    stats = per_edge.groupBy("node_id").agg(
+        F.count("*").alias("n_ways"),
+        F.countDistinct("highway").alias("n_types"),
+        F.max("mid").alias("mid"),
     )
     out = stats.filter(
         (F.col("n_ways") >= 2)
@@ -1659,3 +1664,159 @@ def q33_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q33_length_percentiles"] = _q33_sql()
+
+
+# --------------------------------------------------------------------- q34
+def _q34_sql() -> str:
+    return """WITH mem AS (
+  SELECT DISTINCT l_orderkey AS relation_id, l_linenumber FROM lineitem
+),
+ranked AS (
+  SELECT relation_id,
+         relation_id * 8 + l_linenumber AS osm_id,
+         ROW_NUMBER() OVER (PARTITION BY relation_id ORDER BY l_linenumber) AS seq,
+         COUNT(*) OVER (PARTITION BY relation_id) AS n_members
+  FROM mem
+)
+SELECT relation_id, osm_id, CAST(seq AS BIGINT) AS seq,
+       CAST(n_members AS BIGINT) AS n_members,
+       CASE relation_id % 3 WHEN 0 THEN 'NH_route'
+            WHEN 1 THEN 'SH_route' ELSE 'local_route' END AS route_type
+FROM ranked WHERE n_members >= 2"""
+
+
+@register("q34_relation_members", None)
+def q34_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: relation-membership extraction — ordered member ways per route
+    relation (Lua3...lua:428-441, osm_relation_ways)."""
+    from pyspark.sql import Window
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber").distinct())
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    wc = Window.partitionBy("l_orderkey")
+    out = li.select(
+        F.col("l_orderkey").alias("relation_id"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("osm_id"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.count("*").over(wc).cast("long").alias("n_members"),
+    ).filter(F.col("n_members") >= 2)
+    route = (
+        F.when(F.col("relation_id") % 3 == 0, "NH_route")
+        .when(F.col("relation_id") % 3 == 1, "SH_route")
+        .otherwise("local_route"))
+    return out.withColumn("route_type", route)
+
+
+ORACLES["q34_relation_members"] = _q34_sql()
+
+
+# --------------------------------------------------------------------- q35
+def _q35_sql() -> str:
+    ppc = W.PX_PER_CELL
+    fl = oracle.fl
+    pdr = f"LEAST(pop_sum / {fl(W.POP_SAT_CELL)}, {fl(1.0)})"
+    bur = f"LEAST(built_sum / {fl(W.BUILT_SAT_CELL)}, {fl(1.0)})"
+    pressure = f"({fl(1.0)} - ({fl(1.0)} - {pdr}) * ({fl(1.0)} - {bur}))"
+    return f"""WITH RECURSIVE {_pixels_cte()},
+cellsums AS (
+  SELECT (py // {ppc}) * {W.NX} + (px // {ppc}) AS grid_id,
+         CAST(SUM(pop) AS BIGINT) AS pop_sum, CAST(SUM(built) AS BIGINT) AS built_sum
+  FROM pixvals GROUP BY 1
+),
+urban AS (SELECT grid_id FROM cellsums WHERE {pressure} >= {fl(W.PRESSURE_URBAN)}),
+edges AS (
+  SELECT a.grid_id AS a, b.grid_id AS b
+  FROM urban a JOIN urban b ON
+    (b.grid_id = a.grid_id - 1 AND a.grid_id % {W.NX} != 0) OR
+    (b.grid_id = a.grid_id + 1 AND a.grid_id % {W.NX} != {W.NX - 1}) OR
+    b.grid_id = a.grid_id - {W.NX} OR b.grid_id = a.grid_id + {W.NX}
+),
+reach(a, b) AS (
+  SELECT grid_id, grid_id FROM urban
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+),
+comp AS (SELECT a AS grid_id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS area_cells,
+       CAST(MIN(grid_id % {W.NX}) AS BIGINT) AS bbox_i0,
+       CAST(MAX(grid_id % {W.NX}) AS BIGINT) AS bbox_i1,
+       CAST(MIN(grid_id // {W.NX}) AS BIGINT) AS bbox_j0,
+       CAST(MAX(grid_id // {W.NX}) AS BIGINT) AS bbox_j1,
+       CAST(SUM(grid_id % {W.NX}) AS BIGINT) AS centroid_i_sum,
+       CAST(SUM(grid_id // {W.NX}) AS BIGINT) AS centroid_j_sum
+FROM comp GROUP BY component"""
+
+
+@register("q35_cluster_dissolve", None)
+def q35_cluster_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-cluster dissolve rollup — area, bbox, centroid sums
+    (ST_UnaryUnion(ST_Collect(...)) + area/centroid/bbox,
+    01_clusters_opt1_test.sql:59-99) as exact integer cell aggregates."""
+    from .operators import clusters, zonal
+    from .sources.raster import raster_tiles
+
+    press = zonal.urban_pressure(zonal.zonal_cell_sums(raster_tiles(spark)))
+    urban = press.filter(F.col("pressure_class") == "urban").select("grid_id")
+    comp = clusters.connected_components(urban)
+    i = (F.col("grid_id") % W.NX).cast("long")
+    j = F.floor(F.col("grid_id") / W.NX).cast("long")
+    return comp.select("component", i.alias("i"), j.alias("j")).groupBy("component").agg(
+        F.count("*").cast("long").alias("area_cells"),
+        F.min("i").alias("bbox_i0"), F.max("i").alias("bbox_i1"),
+        F.min("j").alias("bbox_j0"), F.max("j").alias("bbox_j1"),
+        F.sum("i").alias("centroid_i_sum"), F.sum("j").alias("centroid_j_sum"))
+
+
+ORACLES["q35_cluster_dissolve"] = _q35_sql()
+
+
+# --------------------------------------------------------------------- q36
+def _q36_sql() -> str:
+    nconf = len(W.CONFLICT_TYPES)
+    types = " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(W.CONFLICT_TYPES))
+    return f"""{oracle.with_world('verts')},
+tagged AS (
+  SELECT DISTINCT node_id, CASE node_id % 97 {types} END AS conflict_type
+  FROM verts WHERE node_id % 97 < {nconf}
+),
+derived AS (
+  SELECT node_id, 'intersection' AS conflict_type
+  FROM (
+    SELECT node_id, COUNT(DISTINCT osm_id) AS n_ways
+    FROM verts GROUP BY node_id
+  ) WHERE n_ways >= 3
+)
+SELECT node_id,
+       MAX(CASE WHEN conflict_type != 'intersection' THEN conflict_type END)
+         AS tagged_type,
+       MAX(conflict_type = 'intersection') AS is_intersection
+FROM (SELECT * FROM tagged UNION ALL SELECT * FROM derived)
+GROUP BY node_id"""
+
+
+@register("q36_conflict_nodes", None)
+def q36_conflict_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage (2.7): tagged conflict nodes UNION derived
+    high-degree intersections, deduplicated keeping both provenance flags
+    (04_conflict_zone_suppression.sql:36-59)."""
+    wn = world.way_nodes(spark, sf_dir)
+    nconf = len(W.CONFLICT_TYPES)
+    ctype = F.lit(None).cast("string")
+    for i, t in enumerate(W.CONFLICT_TYPES):
+        ctype = F.when(F.col("node_id") % 97 == i, t).otherwise(ctype)
+    tagged = (wn.filter(F.col("node_id") % 97 < nconf)
+              .select("node_id", ctype.alias("conflict_type")).distinct())
+    derived = (wn.groupBy("node_id")
+               .agg(F.countDistinct("way_id").alias("n_ways"))
+               .filter(F.col("n_ways") >= 3)
+               .select("node_id", F.lit("intersection").alias("conflict_type")))
+    both = tagged.unionByName(derived)
+    return both.groupBy("node_id").agg(
+        F.max(F.when(F.col("conflict_type") != "intersection",
+                     F.col("conflict_type"))).alias("tagged_type"),
+        F.max(F.col("conflict_type") == "intersection").alias("is_intersection"))
+
+
+ORACLES["q36_conflict_nodes"] = _q36_sql()

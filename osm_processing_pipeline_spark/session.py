@@ -20,6 +20,11 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # cover joins explode cell arrays; keep the post-shuffle target modest
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
+    # Engine work is compute-heavy per byte (geometry refine, array fan-out):
+    # cap scan partitions small so file-count/row-group packing can't strangle
+    # the narrow pre-shuffle pipeline (parquet can't split below file level).
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "131072",
 }
 
 
@@ -37,6 +42,10 @@ def get_spark(app_name: str = "osm-spark-engine",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill to tmpfs when available: the sandbox's /tmp is disk-backed
+    # and serializes shuffle IO (on a real cluster this is NVMe/local SSD).
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
