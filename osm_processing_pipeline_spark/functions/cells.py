@@ -11,6 +11,16 @@ geometric join is ever needed for proximity expansion.
 
 Everything in this module is a pure Catalyst column expression (whole-stage
 codegen; no Python in the hot path).
+
+H3/S2 correspondence: this uniform grid is the sandbox stand-in for an
+H3/S2 library (not installed here) — the API is shaped to map 1:1 onto it:
+``cell_of_point`` = h3.latlng_to_cell, ``kring`` = h3.grid_disk,
+``bbox_cover``/``segment_cover`` = h3.polygon_to_cells over the envelope,
+``disk_cover_of_point`` = grid_disk of the radius-scaled ring.  Swapping in
+real H3 at cluster scale changes only this module: every operator upstream
+consumes opaque int64 cell ids, and H3 cell ids are int64 too.  (A uniform
+grid even matches the reference more closely — its india_grids tiling IS a
+uniform 0.009-degree grid, 01_create_india_grids.sql:10-43.)
 """
 
 from __future__ import annotations

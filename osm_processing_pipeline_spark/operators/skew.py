@@ -41,3 +41,34 @@ def repartition_by_cell_density(df: DataFrame, cell_col: str,
     """Range-repartition on cell id with AQE-friendly partition count; dense
     cells land in their own narrow ranges instead of hashing into one task."""
     return df.repartitionByRange(target_partitions, F.col(cell_col))
+
+
+def cell_density(df: DataFrame, cell_col: str) -> DataFrame:
+    """Engine-level statistics: rows per cell (the histogram that drives
+    salting decisions — the analogue of ANALYZE-driven planning,
+    add_custom_tags.py:307-329)."""
+    return df.groupBy(cell_col).agg(F.count("*").alias("n_rows"))
+
+
+def hot_cells(df: DataFrame, cell_col: str, threshold_rows: int) -> list:
+    """Cells whose row count exceeds the per-task budget — the salting set.
+    Driver-side collect is safe: bounded by the number of cells, not rows."""
+    return [r[0] for r in cell_density(df, cell_col)
+            .filter(F.col("n_rows") > threshold_rows).select(cell_col).collect()]
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, key: str,
+                salt_src: str, n_salts: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Hot-key equi-join: salt the skewed side deterministically by an
+    existing uniform column (``salt_src``, e.g. osm_id — never rand(), which
+    breaks retry determinism), replicate the other side across the salt
+    range, and join on (key, salt).  Result-identical to the naive join;
+    each hot key fans across n_salts reducers.
+
+    This is the explicit form of what AQE skew-split does for sort-merge
+    joins — needed when the join must be hash/broadcast or when the skew is
+    in the build side where AQE cannot split."""
+    s = skewed.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+    o = other.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return s.join(o, [key, "_salt"], how).drop("_salt")

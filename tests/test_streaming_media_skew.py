@@ -74,3 +74,44 @@ def test_salted_distinct_count_equals_naive(spark):
     b = salted.sort_values("grid_id").reset_index(drop=True)
     assert len(a) == len(b) > 0
     assert (a.n_distinct.values == b.n_distinct.values).all()
+
+
+def test_salted_join_equals_naive(spark):
+    import pyspark.sql.functions as F
+
+    from osm_processing_pipeline_spark.datagen import world
+    from osm_processing_pipeline_spark.functions import cells
+    from tests.conftest import SF_SMOKE
+    r = world.roads_materialized(spark, SF_SMOKE)
+    s = world.segments(spark, SF_SMOKE, r)
+    g = world.grids(spark)
+    cand = s.withColumn(
+        "grid_id",
+        F.explode(cells.segment_cover(s.ax, s.ay, s.bx, s.by)))
+    naive = cand.join(g, "grid_id").groupBy("grid_id").count().toPandas()
+    salted = skew.salted_join(cand, g, "grid_id", salt_src="osm_id") \
+        .groupBy("grid_id").count().toPandas()
+    a = naive.sort_values("grid_id").reset_index(drop=True)
+    b = salted.sort_values("grid_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hot_cells_flags_urban_core(spark):
+    from osm_processing_pipeline_spark.datagen import world
+    from osm_processing_pipeline_spark import worldspec as W
+    from tests.conftest import SF_SMOKE
+    from osm_processing_pipeline_spark.functions import cells
+    import pyspark.sql.functions as F
+    r = world.roads_materialized(spark, SF_SMOKE)
+    pts = r.select(F.explode("vertices").alias("v")).select(
+        cells.cell_of_point(F.col("v.lon"), F.col("v.lat")).alias("cell"))
+    n = pts.count()
+    hot = set(skew.hot_cells(pts, "cell", threshold_rows=n // (W.NX * W.NY) * 20))
+    assert hot, "urban core must trip the density threshold"
+    # the urban-core cells must be flagged (world-edge cells may also be hot:
+    # coordinate clamping piles boundary vertices there — equally real skew)
+    ulo = int(W.URBAN_LO / W.CELL_DEG)
+    uhi = int(W.URBAN_HI / W.CELL_DEG)
+    core = {j * W.NX + i for i in range(ulo, uhi) for j in range(ulo, uhi)}
+    assert len(core & hot) >= len(core) * 3 // 4, \
+        f"only {len(core & hot)}/{len(core)} urban-core cells flagged hot"
