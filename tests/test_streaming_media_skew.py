@@ -115,3 +115,31 @@ def test_hot_cells_flags_urban_core(spark):
     core = {j * W.NX + i for i in range(ulo, uhi) for j in range(ulo, uhi)}
     assert len(core & hot) >= len(core) * 3 // 4, \
         f"only {len(core & hot)}/{len(core)} urban-core cells flagged hot"
+
+
+def test_stateful_streaming_first_seen_matches_batch(spark, tmp_path):
+    """applyInPandasWithState dedup: multi-batch streaming state == batch twin."""
+    import shutil
+
+    from osm_processing_pipeline_spark.streaming import stateful
+    d = tmp_path / "events_stateful"
+    d.mkdir()
+    # split into 3 files -> 3 micro-batches, so state genuinely merges
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite").parquet(str(d / f"chunk{i}"))
+    import glob
+    files = sorted(glob.glob(str(d / "chunk*" / "*.parquet")))
+    for i, f in enumerate(files):
+        shutil.copy(f, d / f"part-{i}.parquet")
+    for i in range(3):
+        shutil.rmtree(d / f"chunk{i}")
+    streamed = stateful.run_first_seen_available_now(spark, str(d)).toPandas()
+    batch = stateful.batch_first_seen(ev).toPandas()
+    s = streamed.sort_values("user_id").reset_index(drop=True)
+    b = batch.sort_values("user_id").reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["user_id"].values == b["user_id"].values).all()
+    assert (s["first_ts"].values == b["first_ts"].values).all()
+    assert (s["first_event"].values == b["first_event"].values).all()
