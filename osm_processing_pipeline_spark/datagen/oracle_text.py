@@ -47,8 +47,11 @@ def simhash_sig_sql() -> str:
 
 
 def qdot_sql(a: str, b: str, i: str = "i") -> str:
-    return (f"SUM(CAST(floor((CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)) "
-            f"* {fl(1.0e9)}) AS BIGINT))")
+    """Input-quantized dot terms: floor(x*2^20) per input, then integer
+    products — every partial sum < 2^53, so the Spark side may evaluate the
+    same sum as a float64 BLAS matmul and stay bit-exact."""
+    return (f"SUM(CAST(floor(CAST({a}[{i}] AS DOUBLE) * {fl(2.0 ** 20)}) AS BIGINT) "
+            f"* CAST(floor(CAST({b}[{i}] AS DOUBLE) * {fl(2.0 ** 20)}) AS BIGINT))")
 
 
 def cos_nano_sql(dt: str, na: str, nb: str) -> str:

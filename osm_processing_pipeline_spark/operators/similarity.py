@@ -2,15 +2,16 @@
 
 Brute-force cosine top-k as the exactness baseline, and a random-hyperplane
 LSH-bucketed variant as the scale path (bucket equi-join instead of the
-all-pairs product).  All dot products are computed as sums of per-dimension
-int64-quantized terms (floor(x*y*1e9)) so results are deterministic,
-order-independent, and bit-identical to the SQL oracle; final cosine is a
+all-pairs product).  All dot products quantize the INPUTS to int
+(floor(x*2^20)) and sum exact integer products, so results are
+deterministic, order-independent, and bit-identical to the SQL oracle —
+and, because every partial sum stays below 2^53, the kernel side can
+evaluate the identical sum as a float64 BLAS matmul.  Final cosine is a
 single deterministic division + sqrt.
 
-Everything runs JVM-side via zip_with/aggregate higher-order functions —
-no Python in the hot path.  (A Pandas-UDF/numpy matmul variant would win on
-raw FLOPs for very wide vectors; at 64 dims the codegen'd fold is competitive
-and keeps the plan fully fused.)
+The LSH path runs JVM-side via zip_with/aggregate higher-order functions
+(fully fused, no Python); the brute-force baseline is the Pandas-UDF-wins
+case and uses the Arrow-batched GEMM kernel in ``brute_force_topk``.
 """
 
 from __future__ import annotations
@@ -20,7 +21,9 @@ from pyspark.sql import functions as F
 
 from .. import worldspec as W
 
-Q = 1.0e9
+Q = 1.0e9          # cosine output quantum (nano-cosine)
+QIN = 2.0 ** 20    # input quantum: floor(x*2^20) -> products stay < 2^53,
+                   # so numpy float64 matmul computes the exact integer sum
 
 
 def _load(embeddings: DataFrame) -> DataFrame:
@@ -30,7 +33,8 @@ def _load(embeddings: DataFrame) -> DataFrame:
 
 def _qdot(a, b) -> F.Column:
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.floor((x * y) * F.lit(Q)).cast("long")),
+        F.zip_with(a, b, lambda x, y: (F.floor(x * F.lit(QIN)).cast("long")
+                                       * F.floor(y * F.lit(QIN)).cast("long"))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
@@ -48,13 +52,14 @@ def _cos_nano(dt, na, nb) -> F.Column:
 def brute_force_topk(embeddings: DataFrame, k: int) -> DataFrame:
     """(vec_id, rank, neighbor_id, cos_nano) — exact cosine top-k.
 
-    The index side is broadcast as a dense numpy matrix and each probe
-    partition computes a blocked quantized product (floor(x*y*1e9) per term,
-    summed as int64 — the identical operation tree as the SQL oracle, just
-    evaluated by numpy).  This is the Pandas-UDF-wins case: a zip_with fold
-    allocates a 64-element array per pair, while the kernel does the whole
-    block as three vectorized ops.  At scale the broadcast side becomes a
-    block-partitioned product over index shards."""
+    The index side is broadcast as a dense quantized numpy matrix and each
+    probe partition runs one BLAS matmul per block — exact, because inputs
+    are pre-quantized to 2^20 so every product and partial sum is an integer
+    below 2^53 (the identical value tree as the SQL oracle).  This is the
+    Pandas-UDF-wins case: a zip_with fold allocates a 64-element array per
+    pair, while the kernel amortizes the whole block into one GEMM.  At
+    scale the broadcast side becomes a block-partitioned product over index
+    shards."""
     import numpy as np
     import pandas as pd
 
@@ -62,30 +67,31 @@ def brute_force_topk(embeddings: DataFrame, k: int) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     e = embeddings.select("vec_id", "embedding")
     b_pdf = e.toPandas()
-    B = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
+    Bq = np.floor(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
+                  * QIN)
     b_ids = b_pdf["vec_id"].to_numpy(np.int64)
-    nb = np.floor((B * B) * 1.0e9).astype(np.int64).sum(axis=1)
-    bc = spark.sparkContext.broadcast((b_ids, B, nb))
+    nb = (Bq * Bq).sum(axis=1)        # exact: terms < 2^40, 64-dim sum < 2^46
+    bc = spark.sparkContext.broadcast((b_ids, Bq, nb))
 
     def kernel(batches):
-        b_ids_, B_, nb_ = bc.value
+        b_ids_, Bq_, nb_ = bc.value
         ok_b = nb_ > 0
+        BT = Bq_.T
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Aq = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                          * QIN)
             a_ids = pdf["vec_id"].to_numpy(np.int64)
-            na = np.floor((A * A) * 1.0e9).astype(np.int64).sum(axis=1)
+            na = (Aq * Aq).sum(axis=1)
             out_v, out_r, out_n, out_c = [], [], [], []
-            for lo in range(0, len(A), 64):
-                hi = min(lo + 64, len(A))
-                Ac = A[lo:hi]
-                dt = np.floor((Ac[:, None, :] * B_[None, :, :]) * 1.0e9) \
-                    .astype(np.int64).sum(axis=2)
+            # one BLAS matmul per block: every product and partial sum is an
+            # exact float64 integer (inputs quantized to 2^20)
+            for lo in range(0, len(Aq), 512):
+                hi = min(lo + 512, len(Aq))
+                dt = Aq[lo:hi] @ BT
                 cos = np.floor(
-                    (dt / np.sqrt(na[lo:hi, None].astype(np.float64)
-                                  * nb_[None, :].astype(np.float64)))
-                    * 1.0e9)
+                    (dt / np.sqrt(na[lo:hi, None] * nb_[None, :])) * 1.0e9)
                 for r in range(hi - lo):
                     if na[lo + r] <= 0:
                         continue
