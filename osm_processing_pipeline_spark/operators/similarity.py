@@ -151,3 +151,32 @@ def lsh_ann_top1(embeddings: DataFrame) -> DataFrame:
                    "cos_nano"))
     return (bk.select("vec_id", "bucket").join(top, "vec_id", "left")
             .select("vec_id", "bucket", "neighbor_id", "cos_nano"))
+
+
+def embedding_neardup(embeddings: DataFrame, threshold_nano: int) -> DataFrame:
+    """Embedding-cosine near-dup dedup decision (LSH-bucketed, the scale
+    path): a vector is a duplicate iff some bucket-mate with a LOWER vec_id
+    has cosine >= threshold; dup_of is the smallest such id.  Keep-lowest-id
+    is the associative tie-break that makes the decision deterministic and
+    distributable (same shape as the exact-dedup keep-first rule)."""
+    bk = lsh_buckets(embeddings)
+    a = bk.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"),
+                  F.col("nrm").alias("na"), "bucket")
+    b = bk.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
+                  F.col("nrm").alias("nb"), "bucket")
+    cand = a.join(b, "bucket").filter((F.col("vb") < F.col("va"))
+                                      & (F.col("na") > 0) & (F.col("nb") > 0))
+    cos = cand.withColumn(
+        "cos_nano", _cos_nano(_qdot(F.col("ea"), F.col("eb")),
+                              F.col("na"), F.col("nb")))
+    hits = (cos.filter(F.col("cos_nano") >= threshold_nano)
+            .groupBy("va")
+            .agg(F.min("vb").alias("dup_of"),
+                 F.count("*").cast("long").alias("n_nearmatches"),
+                 F.max("cos_nano").alias("best_cos_nano")))
+    return (bk.select("vec_id").join(hits, bk.vec_id == hits.va, "left")
+            .select("vec_id",
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of",
+                    F.coalesce("n_nearmatches", F.lit(0)).alias("n_nearmatches"),
+                    "best_cos_nano"))

@@ -1820,3 +1820,63 @@ def q36_conflict_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q36_conflict_nodes"] = _q36_sql()
+
+
+# --------------------------------------------------------------------- q37
+def _q37_sql() -> str:
+    plane_sums = []
+    for j in range(W.ANN_PLANES):
+        w = ot.plane_weight_sql(j, "(i - 1)")
+        plane_sums.append(
+            f"SUM(CAST(floor((CAST(embedding[i] AS DOUBLE) * {w}) * {oracle.fl(1.0e9)}) AS BIGINT)) AS p{j}")
+    bucket = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(W.ANN_PLANES))
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+terms1 AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM e),
+nrm AS (SELECT vec_id, {ot.qdot_sql('embedding', 'embedding')} AS nrm
+        FROM terms1 GROUP BY vec_id),
+projs AS (
+  SELECT vec_id, {', '.join(plane_sums)}
+  FROM terms1 GROUP BY vec_id
+),
+buckets AS (SELECT vec_id, {bucket} AS bucket FROM projs),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+),
+cterms AS (
+  SELECT c.va, c.vb, ea.embedding AS ea, eb.embedding AS eb,
+         unnest(generate_series(1, 64)) AS i
+  FROM cand c JOIN e ea ON ea.vec_id = c.va JOIN e eb ON eb.vec_id = c.vb
+  JOIN nrm na ON na.vec_id = c.va AND na.nrm > 0
+  JOIN nrm nb ON nb.vec_id = c.vb AND nb.nrm > 0
+),
+dots AS (SELECT va, vb, {ot.qdot_sql('ea', 'eb')} AS dt FROM cterms GROUP BY va, vb),
+cosd AS (
+  SELECT d.va, d.vb, {ot.cos_nano_sql('d.dt', 'na.nrm', 'nb.nrm')} AS cos_nano
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb
+),
+hits AS (
+  SELECT va, MIN(vb) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_nearmatches,
+         MAX(cos_nano) AS best_cos_nano
+  FROM cosd WHERE cos_nano >= {W.NEARDUP_COS_NANO} GROUP BY va
+)
+SELECT b.vec_id, h.dup_of IS NOT NULL AS is_dup, h.dup_of,
+       COALESCE(h.n_nearmatches, 0) AS n_nearmatches, h.best_cos_nano
+FROM buckets b LEFT JOIN hits h ON h.va = b.vec_id"""
+
+
+@register("q37_embedding_neardup", None)
+def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (LSH-bucketed candidates, exact cosine
+    refine, keep-lowest-id decision) — the embedding leg of the dedup suite."""
+    from .operators import similarity
+
+    return similarity.embedding_neardup(_embs(spark, sf_dir), W.NEARDUP_COS_NANO)
+
+
+ORACLES["q37_embedding_neardup"] = _q37_sql()

@@ -241,3 +241,8 @@ ZOOMS = [(6, 16, 4), (10, 64, 2)]
 def grid_class_bounds() -> tuple[float, float, float, float]:
     """(urban_lo, urban_hi, semi_lo, semi_hi) for cell-center class tests."""
     return URBAN_LO, URBAN_HI, SEMI_LO, SEMI_HI
+
+# embedding-cosine near-dup threshold (nano-cosine); the synthetic
+# embeddings have max pairwise cos ~0.48, so 0.42 yields a real mixed
+# dup/non-dup decision surface
+NEARDUP_COS_NANO = 420_000_000
