@@ -71,9 +71,12 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
     # Two-phase aggregate: dedup to (node, way) first so the node-level pass
     # needs only ONE distinct (highway) — avoids Catalyst's Expand (x3 rows
     # shuffled) that a double countDistinct costs.  A way has one highway,
-    # so count(*) after the dedup == countDistinct(way_id).
+    # so count(*) after the dedup == countDistinct(way_id).  Every later
+    # branch (stats, type pivot, way-node pairs) derives from this ONE
+    # subtree, so its exchange is computed once and reused (ReusedExchange)
+    # instead of re-exploding the vertex arrays three times.
     per_edge = way_nodes.groupBy("node_id", "way_id").agg(
-        F.first("highway").alias("highway"),
+        F.min("highway").alias("highway"),
         F.max(F.when((F.col("seq") > 0) & (F.col("seq") < F.col("nv") - 1), 1)
               .otherwise(0)).alias("mid"))
     stats = per_edge.groupBy("node_id").agg(
@@ -86,7 +89,9 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
     )
 
     # W3 pivot: rank distinct road types at the node by hierarchy.
-    nt = way_nodes.select("node_id", "highway").distinct()
+    # (node, highway) distinct over per_edge == over raw way_nodes: a way
+    # has exactly one highway.
+    nt = per_edge.select("node_id", "highway").distinct()
     rn = F.row_number().over(
         Window.partitionBy("node_id")
         .orderBy(hierarchy(F.col("highway")).desc(), F.col("highway").asc()))
@@ -105,8 +110,9 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
              .select("node_id", red.alias("red"),
                      F.round(red * L(W.LEN_Q)).cast("long").alias("red_ppm")))
 
-    # ways x qualifying intersections (distinct per way/node)
-    wn = way_nodes.select(F.col("way_id").alias("osm_id"), "node_id").distinct()
+    # ways x qualifying intersections — per_edge rows are already distinct
+    # (node, way) pairs
+    wn = per_edge.select(F.col("way_id").alias("osm_id"), "node_id")
     per_way = (wn.join(nodes, "node_id")
                .groupBy("osm_id")
                .agg(F.count("*").alias("n_int"),

