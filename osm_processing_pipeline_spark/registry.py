@@ -1885,3 +1885,55 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q37_embedding_neardup"] = _q37_sql()
+
+
+# --------------------------------------------------------------------- q38
+def _q38_sql() -> str:
+    lenm = og.seg_len_m()
+    piece = og.quantize_um(f"({og.seg_rect_frac()}) * ({lenm})")
+    return f"""{oracle.with_world('segs', 'grid')},
+{og.cand_cells_ctes('segs')}
+SELECT c.osm_id, c.grid_id,
+       CAST(SUM({piece}) AS BIGINT) AS piece_um,
+       CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM seg_cells c JOIN grid g USING (grid_id)
+WHERE {og.seg_rect_hit()}
+GROUP BY c.osm_id, c.grid_id"""
+
+
+@register("q38_checkpointed_pieces", None)
+def q38_checkpointed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship cover-join pieces stage executed THROUGH the
+    per-partition checkpoint machinery (plans/checkpoint.run_stage): the
+    output is written per cell-range with a lineage+row-count manifest and
+    re-runs resume by skipping completed ranges — the graded result is read
+    back from the checkpoint store, so this query proves the resume path
+    end-to-end (3.4 in SURVEY; the multi_grid IS NULL chunk-resume analogue).
+    """
+    import tempfile
+
+    from .operators import spatial_join
+    from .plans import checkpoint as CP
+
+    r = world.roads_materialized(spark, sf_dir)
+    s = world.segments(spark, sf_dir, r)
+    g = world.grids(spark)
+
+    def df_fn():
+        return (spatial_join.segment_cell_pieces(s, g)
+                .groupBy("osm_id", "grid_id")
+                .agg(F.sum("piece_um").alias("piece_um"),
+                     F.count("*").alias("n_segs")))
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"{tempfile.gettempdir()}/osm_engine_ckpt_q38_{key}"
+    lin = CP.lineage_hash("pieces_rollup", [sf_dir], version=W.DATA_VERSION)
+    CP.run_stage(spark, "pieces_rollup", df_fn, "grid_id",
+                 CP.make_ranges(0, W.NX * W.NY, 16), out_dir, lin)
+    out = CP.load_stage(spark, out_dir)
+    return out.select("osm_id", "grid_id",
+                      F.col("piece_um").cast("long").alias("piece_um"),
+                      F.col("n_segs").cast("long").alias("n_segs"))
+
+
+ORACLES["q38_checkpointed_pieces"] = _q38_sql()

@@ -252,3 +252,7 @@ NEARDUP_COS_NANO = 420_000_000
 # pass distance join has the reference's selectivity rather than flagging
 # most of the map: keep feature_id % PASS_RARITY == 0.
 PASS_RARITY = 32
+
+# Version of the synthetic-world derivation; bump when any formula above
+# changes so checkpoint lineage hashes invalidate stale per-range outputs.
+DATA_VERSION = "2"
