@@ -180,3 +180,70 @@ def embedding_neardup(embeddings: DataFrame, threshold_nano: int) -> DataFrame:
                     "dup_of",
                     F.coalesce("n_nearmatches", F.lit(0)).alias("n_nearmatches"),
                     "best_cos_nano"))
+
+
+IVF_LISTS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_projs(emb_col: str = "emb"):
+    """16 integer centroid projections per vector (centroid j = the fixed
+    pseudo-random direction of plane_weight_expr(j); input-quantized dots,
+    bit-identical to the SQL twin)."""
+    outs = []
+    for j in range(IVF_LISTS):
+        outs.append(F.expr(
+            f"aggregate(transform({emb_col}, (x, i) -> "
+            f"CAST(floor(x * {plane_weight_expr(j)} * 1000000000.0D) AS BIGINT)), "
+            "0L, (acc, v) -> acc + v)").alias(f"p{j}"))
+    return outs
+
+
+def _argmax2(cols):
+    """(best_j, second_j) over 16 numeric columns, first-wins ties —
+    the coarse quantizer assign + nprobe=2 probe set."""
+    n = len(cols)
+    best_v = F.greatest(*cols)
+    best_j = F.lit(n - 1)
+    for j in range(n - 2, -1, -1):
+        best_j = F.when(cols[j] == best_v, F.lit(j)).otherwise(best_j)
+    masked = [F.when(F.lit(j) == best_j, F.lit(-(1 << 62))).otherwise(cols[j])
+              for j in range(n)]
+    sec_v = F.greatest(*masked)
+    sec_j = F.lit(n - 1)
+    for j in range(n - 2, -1, -1):
+        sec_j = F.when(masked[j] == sec_v, F.lit(j)).otherwise(sec_j)
+    return best_j, sec_j
+
+
+def ivf_ann_top1(embeddings: DataFrame) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its best of 16 fixed centroid
+    directions (the inverted lists); a query probes its top-2 lists
+    (nprobe=2) and exact-cosine re-ranks the candidates.  The scale shape of
+    FAISS-style IVF — index side partitioned by list id, probe side exploded
+    x nprobe — with the engine's deterministic integer dot machinery."""
+    n = norms(embeddings)
+    pr = n.select("vec_id", "emb", "nrm", *_ivf_projs())
+    pcols = [F.col(f"p{j}") for j in range(IVF_LISTS)]
+    best_j, sec_j = _argmax2(pcols)
+    assigned = pr.select("vec_id", "emb", "nrm", best_j.alias("list_id"),
+                         sec_j.alias("probe2"))
+    index = assigned.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
+                            F.col("nrm").alias("nb"), "list_id")
+    probes = assigned.select(
+        "vec_id", "emb", "nrm",
+        F.explode(F.array(F.col("list_id"), F.col("probe2"))).alias("list_id"))
+    cand = (probes.join(index, "list_id")
+            .filter((F.col("vb") != F.col("vec_id"))
+                    & (F.col("nrm") > 0) & (F.col("nb") > 0)))
+    cos = cand.withColumn(
+        "cos_nano", _cos_nano(_qdot(F.col("emb"), F.col("eb")),
+                              F.col("nrm"), F.col("nb")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_nano").desc(),
+                                             F.col("vb").asc())
+    top = (cos.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") == 1)
+           .select("vec_id", F.col("vb").alias("neighbor_id"), "cos_nano"))
+    return (assigned.select("vec_id", "list_id").join(top, "vec_id", "left")
+            .select("vec_id", F.col("list_id").cast("long").alias("list_id"),
+                    "neighbor_id", "cos_nano"))

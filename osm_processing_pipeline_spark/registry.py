@@ -1937,3 +1937,84 @@ def q38_checkpointed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q38_checkpointed_pieces"] = _q38_sql()
+
+
+# --------------------------------------------------------------------- q39
+def _q39_sql() -> str:
+    from .operators.similarity import IVF_LISTS
+    plane_sums = []
+    for j in range(IVF_LISTS):
+        w = ot.plane_weight_sql(j, "(i - 1)")
+        plane_sums.append(
+            f"SUM(CAST(floor((CAST(embedding[i] AS DOUBLE) * {w}) * {oracle.fl(1.0e9)}) AS BIGINT)) AS p{j}")
+    ps = [f"p{j}" for j in range(IVF_LISTS)]
+    best_v = f"GREATEST({', '.join(ps)})"
+    best_j = ("CASE " + " ".join(f"WHEN p{j} = bv THEN {j}" for j in range(IVF_LISTS))
+              + " END")
+    mask = -(1 << 62)
+    masked = [f"CASE WHEN {j} = bj THEN CAST({mask} AS BIGINT) ELSE p{j} END"
+              for j in range(IVF_LISTS)]
+    sec_v = f"GREATEST({', '.join(masked)})"
+    sec_j = ("CASE " + " ".join(f"WHEN ({m}) = sv THEN {j}"
+                                for j, m in enumerate(masked)) + " END")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+terms1 AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM e),
+nrm AS (SELECT vec_id, {ot.qdot_sql('embedding', 'embedding')} AS nrm
+        FROM terms1 GROUP BY vec_id),
+projs AS (
+  SELECT vec_id, {', '.join(plane_sums)}
+  FROM terms1 GROUP BY vec_id
+),
+withbest AS (SELECT *, {best_v} AS bv FROM projs),
+withbj AS (SELECT *, {best_j} AS bj FROM withbest),
+withsec AS (SELECT *, {sec_v} AS sv FROM withbj),
+assigned AS (SELECT vec_id, bj AS list_id, {sec_j} AS probe2 FROM withsec),
+idx AS (SELECT vec_id AS vb, list_id FROM assigned),
+probes AS (
+  SELECT vec_id, list_id FROM assigned
+  UNION ALL
+  SELECT vec_id, probe2 AS list_id FROM assigned
+),
+cand AS (
+  SELECT p.vec_id AS va, i.vb
+  FROM probes p JOIN idx i USING (list_id)
+  WHERE i.vb != p.vec_id
+),
+cterms AS (
+  SELECT c.va, c.vb, ea.embedding AS ea, eb.embedding AS eb,
+         unnest(generate_series(1, 64)) AS i
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.va
+  JOIN e eb ON eb.vec_id = c.vb
+  JOIN nrm na ON na.vec_id = c.va AND na.nrm > 0
+  JOIN nrm nb ON nb.vec_id = c.vb AND nb.nrm > 0
+),
+dots AS (SELECT va, vb, {ot.qdot_sql('ea', 'eb')} AS dt FROM cterms GROUP BY va, vb),
+cosd AS (
+  SELECT d.va, d.vb, {ot.cos_nano_sql('d.dt', 'na.nrm', 'nb.nrm')} AS cos_nano
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb
+),
+top1 AS (
+  SELECT va, vb, cos_nano,
+         ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos_nano DESC, vb) AS rank
+  FROM cosd
+)
+SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+       t.vb AS neighbor_id, t.cos_nano
+FROM assigned a LEFT JOIN (SELECT * FROM top1 WHERE rank = 1) t ON t.va = a.vec_id"""
+
+
+@register("q39_ivf_ann", None)
+def q39_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (coarse quantizer over 16 fixed centroid directions,
+    nprobe=2, exact cosine re-rank) — the inverted-file scale path
+    complementing the LSH variant (q22)."""
+    from .operators import similarity
+
+    return similarity.ivf_ann_top1(_embs(spark, sf_dir))
+
+
+ORACLES["q39_ivf_ann"] = _q39_sql()
