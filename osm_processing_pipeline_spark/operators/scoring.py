@@ -111,14 +111,26 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
                      F.round(red * L(W.LEN_Q)).cast("long").alias("red_ppm")))
 
     # ways x qualifying intersections — per_edge rows are already distinct
-    # (node, way) pairs
+    # (node, way) pairs.  Reductions take only 4 binary-fraction values, so
+    # the sorted-product fold is synthesized from per-value COUNTS (plain
+    # conditional sums — no collect_list buffers): array_repeat in ascending
+    # value order reproduces the sorted sequence exactly, keeping the float
+    # product bit-identical to the oracle's list_sort + list_reduce.
+    omr_vals = sorted({1.0 - v for v in W.DEGRADE_RED.values()}
+                      | {1.0 - 2 * v for v in W.DEGRADE_RED.values()})
     wn = per_edge.select(F.col("way_id").alias("osm_id"), "node_id")
+    cnt_cols = [F.sum(F.when(L(1.0) - F.col("red") == L(v), 1).otherwise(0))
+                .alias(f"c{i}") for i, v in enumerate(omr_vals)]
     per_way = (wn.join(nodes, "node_id")
                .groupBy("osm_id")
                .agg(F.count("*").alias("n_int"),
                     F.max("red_ppm").alias("max_red_ppm"),
                     F.sum("red_ppm").alias("sum_red_ppm"),
-                    F.array_sort(F.collect_list(L(1.0) - F.col("red"))).alias("omr")))
+                    *cnt_cols))
+    omr = F.flatten(F.array(*[
+        F.array_repeat(L(v), F.col(f"c{i}").cast("int"))
+        for i, v in enumerate(omr_vals)]))
+    per_way = per_way.withColumn("omr", omr)
     stacked = F.round(
         (L(1.0) - F.aggregate("omr", L(1.0), lambda acc, x: acc * x)) * L(W.LEN_Q)
     ).cast("long")
