@@ -77,3 +77,31 @@ def test_landmark_urban_road_setting(spark):
     n = j.count()
     assert n > 0
     assert j.filter(F.col("road_setting") != "Urban").count() == 0
+
+
+def test_vector_tile_partitioned_sink(spark, tmp_path):
+    """S7 materialization: tiles written partitionBy(zoom, tile_id) must
+    prune partitions on point lookup (the tile-server access path)."""
+    from osm_processing_pipeline_spark.operators import tiles
+
+    r = world.roads_materialized(spark, SF_SMOKE)
+    df = tiles.vector_tiles(r)
+    out = str(tmp_path / "tiles")
+    df.write.partitionBy("zoom", "tile_id").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_tile = back.filter((F.col("zoom") == 6) & (F.col("tile_id") >= 0)) \
+                   .groupBy("tile_id").count()
+    assert one_tile.count() > 0
+    # partition pruning reaches the scan
+    probe = back.filter((F.col("zoom") == 6))
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    assert "PartitionFilters: [isnotnull(zoom" in buf.getvalue().replace("#", "").replace("L)", ")") \
+        or "PartitionFilters" in buf.getvalue()
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and "zoom" in pf[0], f"no zoom partition filter: {pf}"
+    # round-trip totals match the unpartitioned frame
+    assert back.count() == df.count()
