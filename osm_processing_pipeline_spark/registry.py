@@ -2018,3 +2018,78 @@ def q39_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q39_ivf_ann"] = _q39_sql()
+
+
+# --------------------------------------------------------------------- q40
+def _q40_sql() -> str:
+    rt = _sql_road_type("r")
+    h = f"(r.osm_id * 2654435761) % {1 << 32}"
+    return f"""{oracle.with_world('roads_base')}
+SELECT r.osm_id, r.highway, {rt} AS road_type,
+       CAST({h} AS BIGINT) AS sample_key
+FROM roads_base r
+ORDER BY sample_key, r.osm_id
+LIMIT 25"""
+
+
+@register("q40_qc_sample", None)
+def q40_qc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.6 QC sampling: the reference's ORDER BY RANDOM() LIMIT 25
+    (04_qc_samples.sql:19-21) made deterministic — order by a multiplicative
+    hash of the key (reproducible across runs/engines, TakeOrderedAndProject
+    physical plan, no full sort)."""
+    r = world.roads_materialized(spark, sf_dir)
+    key = (F.col("osm_id") * F.lit(2654435761)) % F.lit(1 << 32)
+    return (r.select(
+        "osm_id", "highway",
+        classify.road_type(F.col("ref"), F.col("highway")).alias("road_type"),
+        key.cast("long").alias("sample_key"))
+        .orderBy("sample_key", "osm_id").limit(25))
+
+
+ORACLES["q40_qc_sample"] = _q40_sql()
+
+
+# --------------------------------------------------------------------- q41
+def _q41_sql() -> str:
+    lenm = og.seg_len_m()
+    rng = (W.NX * W.NY) // 16
+    return f"""{oracle.with_world('segs', 'grid')},
+{og.cand_cells_ctes('segs')},
+rolled AS (
+  SELECT c.osm_id, c.grid_id
+  FROM seg_cells c JOIN grid g USING (grid_id)
+  WHERE {og.seg_rect_hit()}
+  GROUP BY c.osm_id, c.grid_id
+)
+SELECT CAST(grid_id // {rng} AS BIGINT) AS range_id,
+       CAST(COUNT(*) AS BIGINT) AS output_rows
+FROM rolled GROUP BY 1"""
+
+
+@register("q41_checkpoint_metrics", None)
+def q41_checkpoint_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition checkpoint METRICS as data: runs the checkpointed
+    pieces stage (resuming if already done) and returns the manifest's
+    per-range row counts — oracle-checked against an independent recount, so
+    the lineage manifest itself is part of the graded contract (3.4)."""
+    import tempfile
+
+    from .plans import checkpoint as CP
+
+    # ensure the stage ran (no-op resume when the manifest is complete)
+    q38_checkpointed_pieces(spark, sf_dir).count()
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"{tempfile.gettempdir()}/osm_engine_ckpt_q38_{key}"
+    lin = CP.lineage_hash("pieces_rollup", [sf_dir], version=W.DATA_VERSION)
+    recs = [r for r in CP.read_manifest(out_dir)
+            if r["stage"] == "pieces_rollup" and r["lineage"] == lin]
+    latest = {}
+    for r in recs:
+        latest[r["range_id"]] = r
+    rows = [(int(r["range_id"]), int(r["output_rows"]))
+            for r in latest.values() if r["output_rows"] > 0]
+    return spark.createDataFrame(rows, "range_id long, output_rows long")
+
+
+ORACLES["q41_checkpoint_metrics"] = _q41_sql()
