@@ -134,7 +134,9 @@ def run_flagship_scaled() -> dict:
     # test reads it — replication preserves the urban-core skew exactly.
     from osm_processing_pipeline_spark.datagen.world import CACHE_DIR
     path = f"{CACHE_DIR}/scaled_{SCALE_COPIES}x_{_sf(SF_DIR)}"
-    if not os.path.exists(path):
+    # an interrupted write leaves a partial dataset without _SUCCESS — only
+    # reuse a cache that finished committing
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (base
          .withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(SCALE_COPIES - 1))))
          .withColumn("osm_id", F.col("osm_id") * SCALE_COPIES + F.col("copy"))

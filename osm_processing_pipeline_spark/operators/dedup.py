@@ -8,9 +8,12 @@ oracle.
 
 Scale notes: shingle/band/block self-joins are classic skew points (a hot
 shingle fans out quadratically).  The LSH band join keys are wide (4 minhash
-values), which diffuses hot buckets; for the raw shingle join at 100 TB the
-plan is: distinct (doc, shingle) -> frequency-filter ultra-hot shingles
-(they carry no dedup signal) -> self-join within shingle buckets.
+values), which diffuses hot buckets; the raw shingle join applies
+``df_filter`` first — distinct (doc, shingle) -> drop shingles whose document
+frequency exceeds SHINGLE_DF_MAX (a stop-phrase shared by df docs produces
+O(df^2) candidate rows while carrying no dedup signal) -> self-join.  The
+filter is part of the operator's *semantics* (set sizes are post-filter), so
+the DuckDB oracle applies the identical filter.
 """
 
 from __future__ import annotations
@@ -50,6 +53,19 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         )).alias("shingle"),
     )
     return sh.distinct()
+
+
+def df_filter(sets: DataFrame, key: str = "shingle",
+              max_df: int | None = None) -> DataFrame:
+    """Drop keys with document frequency > max_df before a set self-join.
+
+    The hot-key list is tiny by construction (keys above the threshold), so
+    it broadcasts; the anti-join removes the quadratic fan-out a hot shingle
+    would cause in ``jaccard_pairs`` (the 100 TB scale guard)."""
+    max_df = W.SHINGLE_DF_MAX if max_df is None else max_df
+    hot = (sets.groupBy(key).agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_df).select(key))
+    return sets.join(F.broadcast(hot), key, "left_anti")
 
 
 def jaccard_pairs(sets: DataFrame, key: str = "shingle",

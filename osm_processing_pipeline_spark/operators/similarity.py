@@ -49,65 +49,81 @@ def _cos_nano(dt, na, nb) -> F.Column:
         * F.lit(Q)).cast("long")
 
 
-def brute_force_topk(embeddings: DataFrame, k: int) -> DataFrame:
-    """(vec_id, rank, neighbor_id, cos_nano) — exact cosine top-k.
+def brute_force_topk(embeddings: DataFrame, k: int,
+                     n_shards: int = 16,
+                     n_chunks: int | None = None) -> DataFrame:
+    """(vec_id, rank, neighbor_id, cos_nano) — exact cosine top-k via a
+    distributed block-matrix product (no driver collect anywhere).
 
-    The index side is broadcast as a dense quantized numpy matrix and each
-    probe partition runs one BLAS matmul per block — exact, because inputs
-    are pre-quantized to 2^20 so every product and partial sum is an integer
-    below 2^53 (the identical value tree as the SQL oracle).  This is the
-    Pandas-UDF-wins case: a zip_with fold allocates a 64-element array per
-    pair, while the kernel amortizes the whole block into one GEMM.  At
-    scale the broadcast side becomes a block-partitioned product over index
-    shards."""
+    Both sides of the N x N product are packed into dense blocks: the probe
+    side into ``n_chunks`` row-chunks, the index side into ``n_shards``
+    column-shards (plain groupBy-collect_list — each block is one row holding
+    a small dense matrix).  The chunk x shard grid is enumerated with a
+    broadcast nested-loop join (the shard table is tiny: n_shards rows), and
+    an Arrow kernel runs ONE BLAS matmul per grid cell, emitting only each
+    probe's per-shard top-k.  A final window re-rank over the k*n_shards
+    partial candidates per probe recovers the exact global top-k.
+
+    Exact because inputs are pre-quantized to 2^20, so every product and
+    partial sum is an integer below 2^53 — the identical value tree as the
+    SQL oracle.  Data moved is O(N * n_chunks + N * n_shards) block bytes
+    (each shard is shipped once per probe chunk), never O(N^2) pair rows,
+    and the GEMM work is evenly spread over the chunk x shard task grid —
+    this is the FAISS-style sharded-index brute-force layout."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    if n_chunks is None:
+        n_chunks = max(1, spark.sparkContext.defaultParallelism)
     e = embeddings.select("vec_id", "embedding")
-    b_pdf = e.toPandas()
-    Bq = np.floor(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
-                  * QIN)
-    b_ids = b_pdf["vec_id"].to_numpy(np.int64)
-    nb = (Bq * Bq).sum(axis=1)        # exact: terms < 2^40, 64-dim sum < 2^46
-    bc = spark.sparkContext.broadcast((b_ids, Bq, nb))
+    packed = F.collect_list(F.struct("vec_id", "embedding")).alias("items")
+    chunks = (e.groupBy(F.pmod("vec_id", F.lit(n_chunks)).alias("pc"))
+              .agg(packed).withColumnRenamed("items", "probe_items"))
+    shards = (e.groupBy(F.pmod("vec_id", F.lit(n_shards)).alias("sh"))
+              .agg(packed).withColumnRenamed("items", "index_items"))
+    grid = chunks.crossJoin(F.broadcast(shards))
+
+    def _unpack(items):
+        ids = np.asarray([d["vec_id"] for d in items], dtype=np.int64)
+        M = np.floor(np.stack([np.asarray(d["embedding"], dtype=np.float64)
+                               for d in items]) * QIN)
+        return ids, M
 
     def kernel(batches):
-        b_ids_, Bq_, nb_ = bc.value
-        ok_b = nb_ > 0
-        BT = Bq_.T
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Aq = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                          * QIN)
-            a_ids = pdf["vec_id"].to_numpy(np.int64)
-            na = (Aq * Aq).sum(axis=1)
-            out_v, out_r, out_n, out_c = [], [], [], []
-            # one BLAS matmul per block: every product and partial sum is an
-            # exact float64 integer (inputs quantized to 2^20)
-            for lo in range(0, len(Aq), 512):
-                hi = min(lo + 512, len(Aq))
-                dt = Aq[lo:hi] @ BT
-                cos = np.floor(
-                    (dt / np.sqrt(na[lo:hi, None] * nb_[None, :])) * 1.0e9)
-                for r in range(hi - lo):
-                    if na[lo + r] <= 0:
+            for _, row in pdf.iterrows():
+                a_ids, Aq = _unpack(row["probe_items"])
+                b_ids, Bq = _unpack(row["index_items"])
+                na = (Aq * Aq).sum(axis=1)   # exact: terms < 2^40, sum < 2^46
+                nb = (Bq * Bq).sum(axis=1)
+                ok_b = nb > 0
+                # one BLAS matmul per (chunk, shard) grid cell: every product
+                # and partial sum is an exact float64 integer
+                dt = Aq @ Bq.T
+                cos = np.floor((dt / np.sqrt(na[:, None] * nb[None, :])) * 1.0e9)
+                out_v, out_n, out_c = [], [], []
+                for r in range(len(a_ids)):
+                    if na[r] <= 0:
                         continue
-                    mask = ok_b & (b_ids_ != a_ids[lo + r])
+                    mask = ok_b & (b_ids != a_ids[r])
                     c = cos[r][mask]
-                    ids = b_ids_[mask]
+                    ids = b_ids[mask]
                     order = np.lexsort((ids, -c))[:k]
-                    out_v.extend([a_ids[lo + r]] * len(order))
-                    out_r.extend(range(1, len(order) + 1))
+                    out_v.extend([a_ids[r]] * len(order))
                     out_n.extend(ids[order])
                     out_c.extend(c[order].astype(np.int64))
-            yield pd.DataFrame({"vec_id": out_v, "rank": out_r,
-                                "neighbor_id": out_n, "cos_nano": out_c})
+                yield pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n,
+                                    "cos_nano": out_c})
 
-    return e.repartition(par).mapInPandas(
-        kernel, schema="vec_id long, rank long, neighbor_id long, cos_nano long")
+    partial = grid.repartition(n_chunks * n_shards).mapInPandas(
+        kernel, schema="vec_id long, neighbor_id long, cos_nano long")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_nano").desc(),
+                                             F.col("neighbor_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos_nano"))
 
 
 def plane_weight_expr(j: int) -> str:

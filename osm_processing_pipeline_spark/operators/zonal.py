@@ -23,11 +23,18 @@ from .. import worldspec as W
 from ..sources.raster import decode_band
 
 
-def zonal_cell_sums(tiles: DataFrame) -> DataFrame:
+def zonal_cell_sums(tiles: DataFrame, partitions: int | None = None,
+                    n_tiles: int = W.N_TILES * W.N_TILES) -> DataFrame:
     """(grid_id, pop_sum, built_sum) — per-grid-cell band sums from binary
     tiles.  No shuffle: each tile maps to exactly its 4 cells."""
     cpt = W.TILE_PX // W.PX_PER_CELL       # cells per tile edge (2)
     ppc = W.PX_PER_CELL
+    if partitions is None:
+        # few fat Arrow batches beat many worker spin-ups, but the task count
+        # must grow with the raster: one task per ~512 tiles, floored at 8,
+        # capped at the cluster's parallelism
+        dp = tiles.sparkSession.sparkContext.defaultParallelism
+        partitions = max(8, min(dp, n_tiles // 512))
 
     def kernel(batches):
         for pdf in batches:
@@ -52,8 +59,7 @@ def zonal_cell_sums(tiles: DataFrame) -> DataFrame:
                 "built_sum": builts.reshape(-1),
             })
 
-    # few fat Arrow batches beat many worker spin-ups for this kernel
-    return tiles.coalesce(8).mapInPandas(
+    return tiles.coalesce(partitions).mapInPandas(
         kernel, schema="grid_id long, pop_sum long, built_sum long")
 
 

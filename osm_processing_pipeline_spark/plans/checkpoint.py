@@ -114,5 +114,22 @@ def run_stage(spark: SparkSession,
     return {"computed": computed, "skipped": skipped, "rows": total}
 
 
-def load_stage(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "range=*"))
+def load_stage(spark: SparkSession, out_dir: str,
+               stage: str | None = None, lineage: str | None = None) -> DataFrame:
+    """Read a stage's output back from the checkpoint store.
+
+    Reads ONLY the range directories recorded in the manifest for the given
+    stage/lineage — a shrunk range layout under a new lineage leaves stale
+    range=N directories on disk, and a bare glob would silently read them
+    back alongside fresh output.  Falls back to the glob only when no
+    manifest records match (legacy stores)."""
+    recs = read_manifest(out_dir)
+    if stage is not None:
+        recs = [r for r in recs if r["stage"] == stage]
+    if lineage is not None:
+        recs = [r for r in recs if r["lineage"] == lineage]
+    if not recs:
+        return spark.read.parquet(os.path.join(out_dir, "range=*"))
+    rids = sorted({r["range_id"] for r in recs})
+    return spark.read.parquet(
+        *[os.path.join(out_dir, f"range={rid}") for rid in rids])

@@ -823,10 +823,13 @@ def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q15_sql() -> str:
     return f"""
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tk)
 ),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) > {W.SHINGLE_DF_MAX}),
+sh AS (SELECT s.* FROM sh0 s ANTI JOIN hot h USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
@@ -845,12 +848,13 @@ WHERE (i.inter_cnt * 1000) // (sa.n + sb.n - i.inter_cnt) >= {W.JACCARD_MIN_PERM
 
 @register("q15_ngram_jaccard_dedup", None)
 def q15_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup by word-trigram Jaccard: shingle self-join + integer
-    permille threshold."""
+    """Near-dup by word-trigram Jaccard: hot-shingle df-filter (the
+    quadratic-fan-out guard) -> shingle self-join -> integer permille
+    threshold."""
     from .operators import dedup
 
-    return dedup.jaccard_pairs(dedup.doc_shingles(_docs(spark, sf_dir), 3),
-                               min_permille=W.JACCARD_MIN_PERMILLE)
+    sh = dedup.df_filter(dedup.doc_shingles(_docs(spark, sf_dir), 3))
+    return dedup.jaccard_pairs(sh, min_permille=W.JACCARD_MIN_PERMILLE)
 
 
 ORACLES["q15_ngram_jaccard_dedup"] = _q15_sql()
@@ -1901,6 +1905,31 @@ WHERE {og.seg_rect_hit()}
 GROUP BY c.osm_id, c.grid_id"""
 
 
+# Shared q38/q41 checkpoint-store parameters: ONE derivation for the stage
+# name, output dir, lineage hash, range list and range width, so the metrics
+# query (q41) and its oracle can never drift from the stage writer (q38).
+_Q38_STAGE = "pieces_rollup"
+_Q38_N_RANGES = 16
+
+
+def _q38_store(sf_dir: str) -> tuple[str, str, list[tuple[int, int]]]:
+    import tempfile
+
+    from .plans import checkpoint as CP
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"{tempfile.gettempdir()}/osm_engine_ckpt_q38_{key}"
+    lin = CP.lineage_hash(_Q38_STAGE, [sf_dir], version=W.DATA_VERSION)
+    ranges = CP.make_ranges(0, W.NX * W.NY, _Q38_N_RANGES)
+    return out_dir, lin, ranges
+
+
+def _q38_range_width() -> int:
+    """make_ranges' ceil step — grid_id // width == range_id for every range
+    (the oracle's arithmetic twin of the range list)."""
+    return (W.NX * W.NY + _Q38_N_RANGES - 1) // _Q38_N_RANGES
+
+
 @register("q38_checkpointed_pieces", None)
 def q38_checkpointed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship cover-join pieces stage executed THROUGH the
@@ -1910,8 +1939,6 @@ def q38_checkpointed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     back from the checkpoint store, so this query proves the resume path
     end-to-end (3.4 in SURVEY; the multi_grid IS NULL chunk-resume analogue).
     """
-    import tempfile
-
     from .operators import spatial_join
     from .plans import checkpoint as CP
 
@@ -1925,12 +1952,9 @@ def q38_checkpointed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("piece_um").alias("piece_um"),
                      F.count("*").alias("n_segs")))
 
-    key = sf_dir.strip("/").replace("/", "_")
-    out_dir = f"{tempfile.gettempdir()}/osm_engine_ckpt_q38_{key}"
-    lin = CP.lineage_hash("pieces_rollup", [sf_dir], version=W.DATA_VERSION)
-    CP.run_stage(spark, "pieces_rollup", df_fn, "grid_id",
-                 CP.make_ranges(0, W.NX * W.NY, 16), out_dir, lin)
-    out = CP.load_stage(spark, out_dir)
+    out_dir, lin, ranges = _q38_store(sf_dir)
+    CP.run_stage(spark, _Q38_STAGE, df_fn, "grid_id", ranges, out_dir, lin)
+    out = CP.load_stage(spark, out_dir, _Q38_STAGE, lin)
     return out.select("osm_id", "grid_id",
                       F.col("piece_um").cast("long").alias("piece_um"),
                       F.col("n_segs").cast("long").alias("n_segs"))
@@ -2053,7 +2077,7 @@ ORACLES["q40_qc_sample"] = _q40_sql()
 # --------------------------------------------------------------------- q41
 def _q41_sql() -> str:
     lenm = og.seg_len_m()
-    rng = (W.NX * W.NY) // 16
+    rng = _q38_range_width()
     return f"""{oracle.with_world('segs', 'grid')},
 {og.cand_cells_ctes('segs')},
 rolled AS (
@@ -2073,17 +2097,13 @@ def q41_checkpoint_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces stage (resuming if already done) and returns the manifest's
     per-range row counts — oracle-checked against an independent recount, so
     the lineage manifest itself is part of the graded contract (3.4)."""
-    import tempfile
-
     from .plans import checkpoint as CP
 
     # ensure the stage ran (no-op resume when the manifest is complete)
     q38_checkpointed_pieces(spark, sf_dir).count()
-    key = sf_dir.strip("/").replace("/", "_")
-    out_dir = f"{tempfile.gettempdir()}/osm_engine_ckpt_q38_{key}"
-    lin = CP.lineage_hash("pieces_rollup", [sf_dir], version=W.DATA_VERSION)
+    out_dir, lin, _ = _q38_store(sf_dir)
     recs = [r for r in CP.read_manifest(out_dir)
-            if r["stage"] == "pieces_rollup" and r["lineage"] == lin]
+            if r["stage"] == _Q38_STAGE and r["lineage"] == lin]
     latest = {}
     for r in recs:
         latest[r["range_id"]] = r

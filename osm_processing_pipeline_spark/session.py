@@ -28,6 +28,19 @@ RUNTIME_CONFS = {
 }
 
 
+def _tmpfs_ok(min_free_bytes: int = 16 * 1024 ** 3) -> bool:
+    """True when /dev/shm should back spark.local.dir: explicit env opt-in
+    (SPARK_GRAFT_TMPFS=1/0) wins; otherwise require >= 16 GiB free tmpfs."""
+    opt = os.environ.get("SPARK_GRAFT_TMPFS")
+    if opt is not None:
+        return opt == "1"
+    try:
+        st = os.statvfs("/dev/shm")
+        return st.f_bavail * st.f_frsize >= min_free_bytes
+    except OSError:
+        return False
+
+
 def get_spark(app_name: str = "osm-spark-engine",
               cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -42,9 +55,12 @@ def get_spark(app_name: str = "osm-spark-engine",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Shuffle/spill to tmpfs when available: the sandbox's /tmp is disk-backed
-    # and serializes shuffle IO (on a real cluster this is NVMe/local SSD).
-    if os.path.isdir("/dev/shm"):
+    # Shuffle/spill to tmpfs when it can hold real spill: the sandbox's /tmp
+    # is disk-backed and serializes shuffle IO (on a real cluster this is
+    # NVMe/local SSD).  tmpfs is RAM-backed, so on memory-tight hosts a large
+    # shuffle would ENOSPC instead of spilling — gate on free capacity, with
+    # SPARK_GRAFT_TMPFS=1/0 as the explicit override.
+    if _tmpfs_ok():
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

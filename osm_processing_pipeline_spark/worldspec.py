@@ -168,6 +168,10 @@ SIMHASH_SPREAD = 2654435761
 SIMHASH_MOD = 1 << 32
 SIMHASH_MAX_HAMMING = 6
 JACCARD_MIN_PERMILLE = 200
+# n-gram Jaccard df-filter: shingles present in more than this many docs are
+# dropped BEFORE the self-join (both from intersections and set sizes) — an
+# ultra-hot shingle fans the join out O(df^2) while carrying no dedup signal.
+SHINGLE_DF_MAX = 16
 STOPWORDS = ["a", "the"]
 LANGS = ["de", "en", "es", "fr", "zh"]
 LANG_MARKERS = {
