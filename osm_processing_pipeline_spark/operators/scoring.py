@@ -171,6 +171,37 @@ def avg_speed(roads: DataFrame) -> DataFrame:
         .drop("surf_pct", "bonus_pct"))
 
 
+def fourlane(roads: DataFrame) -> DataFrame:
+    """Four-lane classification (scripts/dev-runs/fourlane_run.py:219-245):
+    'yes' iff the road is oneway-ish (YES/TRUE/1/-1, case-insensitive) AND
+    the FIRST integer substring of ``lanes`` is >= 2 (note: first-int
+    extraction, unlike parse_lanes' '2-4' -> 4 upper-bound rule)."""
+    ow = F.upper(F.coalesce(F.col("oneway"), L(""))).isin(
+        "YES", "TRUE", "1", "-1")
+    ext = F.regexp_extract(F.col("lanes"), "([0-9]+)", 1)
+    first_int = F.coalesce(
+        F.when(ext == "", F.lit(None)).otherwise(ext).cast("int"), L(0))
+    return roads.select(
+        "osm_id", "highway", "oneway", "lanes",
+        first_int.cast("long").alias("lanes_first"),
+        F.when(ow & (first_int >= 2), L("yes")).otherwise(L("no"))
+        .alias("fourlane"))
+
+
+def apply_denylist(roads: DataFrame, denylist: DataFrame) -> DataFrame:
+    """P7 rsbikeaccess denylist (01_rsbikeaccess_update.sql:33-12680):
+    default 'yes', forced 'no' for listed way ids.  The reference inlines a
+    ~12.6k-id literal IN; here the list is a broadcast anti/semi-joinable
+    dimension — the shape that survives a denylist of millions."""
+    d = F.broadcast(
+        denylist.select(F.col("deny_id").alias("osm_id")).distinct()
+        .withColumn("_denied", F.lit(1)))
+    return (roads.join(d, "osm_id", "left")
+            .select("osm_id", "highway",
+                    F.when(F.col("_denied").isNotNull(), L("no"))
+                    .otherwise(L("yes")).alias("rsbikeaccess")))
+
+
 def persona_scores(roads: DataFrame) -> DataFrame:
     """Persona base score (integer points) + two-pass global normalization.
 

@@ -2113,3 +2113,59 @@ def q41_checkpoint_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q41_checkpoint_metrics"] = _q41_sql()
+
+
+# --------------------------------------------------------------------- q42
+def _q42_sql() -> str:
+    first_int = ("COALESCE(CAST(NULLIF(regexp_extract(lanes, '([0-9]+)', 1), '')"
+                 " AS INT), 0)")
+    return f"""{oracle.with_world('roads_base')}
+SELECT osm_id, highway, oneway, lanes,
+       CAST({first_int} AS BIGINT) AS lanes_first,
+       CASE WHEN UPPER(COALESCE(oneway, '')) IN ('YES', 'TRUE', '1', '-1')
+                 AND {first_int} >= 2
+            THEN 'yes' ELSE 'no' END AS fourlane
+FROM roads_base"""
+
+
+@register("q42_fourlane", None)
+def q42_fourlane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-lane flag feeding persona v2's CruiseRoadScore
+    (scripts/dev-runs/fourlane_run.py:219-245): oneway-ish AND first-int
+    lanes >= 2."""
+    from .operators import scoring
+
+    return scoring.fourlane(world.roads_materialized(spark, sf_dir))
+
+
+ORACLES["q42_fourlane"] = _q42_sql()
+
+
+# --------------------------------------------------------------------- q43
+def _q43_sql() -> str:
+    return f"""{oracle.with_world('roads_base')},
+denylist AS (
+  SELECT o_orderkey * 8 + 1 + (o_orderkey % {W.DENY_LINE_MOD}) AS deny_id
+  FROM orders WHERE o_orderkey % {W.DENY_MOD} = 0
+)
+SELECT r.osm_id, r.highway,
+       CASE WHEN d.deny_id IS NOT NULL THEN 'no' ELSE 'yes' END AS rsbikeaccess
+FROM roads_base r
+LEFT JOIN (SELECT DISTINCT deny_id FROM denylist) d ON d.deny_id = r.osm_id"""
+
+
+@register("q43_denylist", None)
+def q43_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 ID denylist (01_rsbikeaccess_update.sql:33-12680): rsbikeaccess
+    defaults to 'yes' and is forced 'no' for a ~1k-id way list — a broadcast
+    join against the denylist dimension, not a 12.6k-literal IN."""
+    from .operators import scoring
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    deny = (orders.filter(F.col("o_orderkey") % W.DENY_MOD == 0)
+            .select((F.col("o_orderkey") * 8 + 1
+                     + F.col("o_orderkey") % W.DENY_LINE_MOD).alias("deny_id")))
+    return scoring.apply_denylist(world.roads_materialized(spark, sf_dir), deny)
+
+
+ORACLES["q43_denylist"] = _q43_sql()

@@ -214,6 +214,12 @@ PERSONA_LANE_PTS = 7
 LANES_CAP = 8               # parse_lanes sanity cap
 LANES_DEFAULT = 2
 
+# rsbikeaccess denylist (sql/road_access/01_rsbikeaccess_update.sql:33-12680):
+# the reference carries a ~12.6k literal way-id list; the synthetic twin
+# derives the denied ids deterministically from the orders table.
+DENY_MOD = 13
+DENY_LINE_MOD = 7
+
 # Average-speed CASE ladder (scripts/dev-runs/avg_speed_kph_run.py:226-330):
 # integer base kph by highway x surface multiplier (percent) x lane bonus.
 SPEED_BASE = {
