@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import worldspec as W
+from ..functions import geometry as G
 from ..sources.raster import decode_band
 
 
@@ -94,6 +95,123 @@ def sample_points(tiles: DataFrame, pts: DataFrame) -> DataFrame:
             })
 
     return joined.mapInPandas(kernel, schema="osm_id long, pop_value long")
+
+
+def line_interpolated_samples(roads: DataFrame) -> DataFrame:
+    """ST_LineInterpolatePoint sampling along each way — one row per sample
+    point: (osm_id, total_len_um, n_samples, gs, lon, lat).
+
+    Mirrors hill_v2/03_compute_relief_from_raster.sql:17-56: n = max(1,
+    ceil(len / interval)) samples at fractions t = (gs + 0.5)/n of the way's
+    length; short ways degenerate to the single mid-line point (the
+    reference's centroid branch, kept on the line).  Locating the segment
+    containing each target distance uses int64-micrometre cumulative lengths
+    (exact, order-independent), then one float lerp — all pure Catalyst
+    array expressions, no shuffle until the raster gather."""
+    L = F.lit
+    S = W.RELIEF_SAMPLE_UM
+    nseg = F.size("vertices") - 1
+    a = F.slice(F.col("vertices"), 1, nseg)
+    b = F.expr("slice(vertices, 2, size(vertices) - 1)")
+    lens_um = F.zip_with(
+        a, b, lambda p, q: G.quantize_len_um(
+            G.seg_len_m(p["lon"], p["lat"], q["lon"], q["lat"])))
+    base = roads.select("osm_id", "vertices", nseg.alias("nseg"),
+                        lens_um.alias("lens_um"))
+    cums = F.transform(
+        F.sequence(L(1), F.col("nseg")),
+        lambda i: F.aggregate(F.slice("lens_um", L(1), i),
+                              L(0).cast("long"), lambda acc, x: acc + x))
+    base = base.withColumn("cums_um", cums) \
+               .withColumn("total_um", F.element_at("cums_um", -1))
+    n = F.greatest(L(1).cast("long"),
+                   F.expr(f"(total_um + {S - 1}) div {S}"))
+    base = base.withColumn("n", n)
+    s = base.select(
+        "osm_id", "vertices", "nseg", "lens_um", "cums_um", "total_um", "n",
+        F.explode(F.sequence(L(0).cast("long"), F.col("n") - 1)).alias("gs"))
+    target = ((F.col("gs").cast("double") + L(0.5)) / F.col("n").cast("double")
+              ) * F.col("total_um").cast("double")
+    s = s.withColumn("target", target)
+    idx = F.least(
+        F.size(F.filter("cums_um",
+                        lambda c: c.cast("double") <= F.col("target"))),
+        F.col("nseg") - 1)
+    s = s.withColumn("idx", idx)
+    len_i = F.element_at("lens_um", F.col("idx") + 1)
+    cum_before = F.element_at("cums_um", F.col("idx") + 1) - len_i
+    frac = F.when(len_i == 0, L(0.0)).otherwise(
+        (F.col("target") - cum_before.cast("double")) / len_i.cast("double"))
+    s = s.withColumn("frac", frac)
+    va = F.element_at("vertices", F.col("idx") + 1)
+    vb = F.element_at("vertices", F.col("idx") + 2)
+    return s.select(
+        "osm_id", "total_um", F.col("n").alias("n_samples"), "gs",
+        (va["lon"] + (vb["lon"] - va["lon"]) * F.col("frac")).alias("lon"),
+        (va["lat"] + (vb["lat"] - va["lat"]) * F.col("frac")).alias("lat"))
+
+
+def buffer_class_histogram(segs: DataFrame) -> DataFrame:
+    """Per-road buffered pixel histogram — the ST_Buffer(25m) + ST_ValueCount
+    kernel (02_worldcover_sampling.sql:5-46) over the WorldCover-ish class
+    raster.
+
+    Membership is exact: a pixel counts iff its center is within WC_BUF_PX
+    pixels (Euclidean) of some segment of the road.  Candidates are 6x6
+    pixel windows around along-line samples spaced WC_SAMPLE_STEP_PX apart
+    (a guaranteed cover of the buffer), refined with the exact
+    point-to-segment distance, then deduped per (road, pixel).  Everything
+    is whole-stage-codegen Catalyst arithmetic; the only shuffle is the
+    distinct + final per-road rollup."""
+    L = F.lit
+    n = W.RASTER_PX
+    step = float(W.WC_SAMPLE_STEP_PX)
+    buf_deg = W.WC_BUF_PX / float(n)     # exact: power-of-two denominator
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    len_deg = F.sqrt(dx * dx + dy * dy)
+    m = F.greatest(L(1).cast("long"),
+                   F.ceil((len_deg * L(float(n))) / L(step)).cast("long"))
+    s = segs.select("osm_id", "ax", "ay", "bx", "by", m.alias("m"))
+    s = s.select("osm_id", "ax", "ay", "bx", "by", "m",
+                 F.explode(F.sequence(L(0).cast("long"), F.col("m"))).alias("j"))
+    t = F.col("j").cast("double") / F.col("m").cast("double")
+    sx = F.col("ax") + (F.col("bx") - F.col("ax")) * t
+    sy = F.col("ay") + (F.col("by") - F.col("ay")) * t
+    cx = F.floor(sx * L(float(n))).cast("long")
+    cy = F.floor(sy * L(float(n))).cast("long")
+    s = s.select("osm_id", "ax", "ay", "bx", "by",
+                 cx.alias("cx"), cy.alias("cy"))
+    s = (s.withColumn("px", F.explode(F.sequence(F.col("cx") - 3,
+                                                 F.col("cx") + 2)))
+         .withColumn("py", F.explode(F.sequence(F.col("cy") - 3,
+                                                F.col("cy") + 2)))
+         .filter((F.col("px") >= 0) & (F.col("px") < n)
+                 & (F.col("py") >= 0) & (F.col("py") < n)))
+    pcx = (F.col("px").cast("double") + L(0.5)) / L(float(n))
+    pcy = (F.col("py").cast("double") + L(0.5)) / L(float(n))
+    d2 = G.seg_point_dist2_deg(F.col("ax"), F.col("ay"),
+                               F.col("bx"), F.col("by"), pcx, pcy)
+    pix = (s.filter(d2 <= L(buf_deg) * L(buf_deg))
+           .select("osm_id", "px", "py").distinct())
+    cls = (F.col("px") * W.WC_MUL_X + F.col("py") * W.WC_MUL_Y) % len(W.WCLASSES)
+    pix = pix.withColumn("wc", cls)
+    # reference mapping: forest = tree(0); field = shrub(1)+grass(2)+crop(3);
+    # built(4) is excluded from the valid total
+    forest = F.sum(F.when(F.col("wc") == 0, 1).otherwise(0))
+    field = F.sum(F.when(F.col("wc").isin(1, 2, 3), 1).otherwise(0))
+    per = pix.groupBy("osm_id").agg(
+        forest.cast("long").alias("forest_px"),
+        field.cast("long").alias("field_px"))
+    tot = F.col("forest_px") + F.col("field_px")
+    return per.select(
+        "osm_id", "forest_px", "field_px", tot.alias("total_px"),
+        F.when(tot == 0, L(0)).otherwise(
+            F.expr("(forest_px * 1000000) div (forest_px + field_px)"))
+        .cast("long").alias("forest_frac_micro"),
+        F.when(tot == 0, L(0)).otherwise(
+            F.expr("(field_px * 1000000) div (forest_px + field_px)"))
+        .cast("long").alias("field_frac_micro"))
 
 
 def urban_pressure(cell_sums: DataFrame) -> DataFrame:

@@ -2169,3 +2169,172 @@ def q43_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q43_denylist"] = _q43_sql()
+
+
+# --------------------------------------------------------------------- q44
+def _q44_sql() -> str:
+    S = W.RELIEF_SAMPLE_UM
+    n, lo, hi = W.RASTER_PX, W.URBAN_PX_LO, W.URBAN_PX_HI
+    frac = ("CASE WHEN c.len_um = 0 THEN 0.0e0 "
+            "ELSE (l.target - CAST(c.cum_um - c.len_um AS DOUBLE)) "
+            "/ CAST(c.len_um AS DOUBLE) END")
+    pop = (f"(px*37 + py*73) % 100 + CASE WHEN px >= {lo} AND px < {hi} "
+           f"AND py >= {lo} AND py < {hi} THEN {W.URBAN_POP_BOOST} ELSE 0 END")
+    return f"""{oracle.with_world('segs')},
+seglen AS (
+  SELECT osm_id, seg_idx, {og.quantize_um(og.seg_len_m())} AS len_um FROM segs
+),
+cums AS (
+  SELECT osm_id, seg_idx, len_um,
+         CAST(SUM(len_um) OVER (PARTITION BY osm_id ORDER BY seg_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_um
+  FROM seglen
+),
+tot AS (
+  SELECT osm_id, CAST(MAX(cum_um) AS BIGINT) AS total_um,
+         CAST(COUNT(*) AS BIGINT) AS nseg
+  FROM cums GROUP BY osm_id
+),
+ns AS (
+  SELECT osm_id, total_um, nseg,
+         CAST(GREATEST(1, (total_um + {S - 1}) // {S}) AS BIGINT) AS n
+  FROM tot
+),
+samples AS (
+  SELECT osm_id, total_um, nseg, n, unnest(generate_series(0, n - 1)) AS gs
+  FROM ns
+),
+targets AS (
+  SELECT *, (CAST(gs AS DOUBLE) + 0.5e0) / CAST(n AS DOUBLE)
+            * CAST(total_um AS DOUBLE) AS target
+  FROM samples
+),
+located AS (
+  SELECT t.osm_id, t.gs, t.n, t.total_um, t.target,
+         LEAST(SUM(CASE WHEN CAST(c.cum_um AS DOUBLE) <= t.target
+                        THEN 1 ELSE 0 END), t.nseg - 1) AS idx
+  FROM targets t JOIN cums c USING (osm_id)
+  GROUP BY t.osm_id, t.gs, t.n, t.total_um, t.target, t.nseg
+),
+pts AS (
+  SELECT l.osm_id, l.n, l.total_um,
+         s.ax + (s.bx - s.ax) * ({frac}) AS x,
+         s.ay + (s.by - s.ay) * ({frac}) AS y
+  FROM located l
+  JOIN cums c ON c.osm_id = l.osm_id AND c.seg_idx = l.idx
+  JOIN segs s ON s.osm_id = l.osm_id AND s.seg_idx = l.idx
+),
+vals AS (
+  SELECT osm_id, n, total_um,
+         GREATEST(0, LEAST({n - 1}, CAST(floor(x * {n}) AS BIGINT))) AS px,
+         GREATEST(0, LEAST({n - 1}, CAST(floor(y * {n}) AS BIGINT))) AS py
+  FROM pts
+)
+SELECT osm_id,
+       CAST(total_um AS BIGINT) AS total_len_um,
+       CAST(n AS BIGINT) AS n_samples,
+       total_um >= {W.RELIEF_LONG_UM} AS is_long,
+       CAST(SUM({pop}) AS BIGINT) AS relief_sum,
+       CAST((SUM({pop}) * 1000000) // n AS BIGINT) AS relief_mean_micro
+FROM vals GROUP BY osm_id, total_um, n"""
+
+
+@register("q44_line_relief_sample", None)
+def q44_line_relief_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 upgrade: line-interpolated raster sampling — n = max(1,
+    ceil(len/interval)) points at t = (gs+0.5)/n along each way, gathered
+    from real binary tiles, mean relief per road
+    (hill_v2/03_compute_relief_from_raster.sql:17-56 incl. the short-way
+    single-sample branch)."""
+    from .operators import zonal
+    from .sources.raster import raster_tiles
+
+    r = world.roads_materialized(spark, sf_dir)
+    samples = zonal.line_interpolated_samples(r)
+    vals = zonal.sample_points(
+        raster_tiles(spark), samples.select("osm_id", "lon", "lat"))
+    sums = vals.groupBy("osm_id").agg(
+        F.sum("pop_value").cast("long").alias("relief_sum"))
+    attrs = samples.groupBy("osm_id").agg(
+        F.min("total_um").cast("long").alias("total_len_um"),
+        F.min("n_samples").cast("long").alias("n_samples"))
+    return (attrs.join(sums, "osm_id")
+            .select("osm_id", "total_len_um", "n_samples",
+                    (F.col("total_len_um") >= W.RELIEF_LONG_UM).alias("is_long"),
+                    "relief_sum",
+                    F.expr("(relief_sum * 1000000) div n_samples")
+                    .cast("long").alias("relief_mean_micro")))
+
+
+ORACLES["q44_line_relief_sample"] = _q44_sql()
+
+
+# --------------------------------------------------------------------- q45
+def _q45_sql() -> str:
+    n, k = W.RASTER_PX, len(W.WCLASSES)
+    fl = oracle.fl
+    buf = fl(W.WC_BUF_PX / float(n))
+    step = fl(float(W.WC_SAMPLE_STEP_PX))
+    t = "(CAST(j AS DOUBLE) / CAST(m AS DOUBLE))"
+    d2 = og.seg_point_dist2("ax", "ay", "bx", "by", "pcx", "pcy")
+    return f"""{oracle.with_world('segs')},
+sam AS (
+  SELECT osm_id, ax, ay, bx, by,
+         GREATEST(1, CAST(ceil((sqrt((bx - ax) * (bx - ax)
+                                     + (by - ay) * (by - ay)) * {fl(float(n))})
+                               / {step}) AS BIGINT)) AS m
+  FROM segs
+),
+pts AS (
+  SELECT osm_id, ax, ay, bx, by,
+         CAST(floor((ax + (bx - ax) * {t}) * {fl(float(n))}) AS BIGINT) AS cx,
+         CAST(floor((ay + (by - ay) * {t}) * {fl(float(n))}) AS BIGINT) AS cy
+  FROM (SELECT *, unnest(generate_series(0, m)) AS j FROM sam)
+),
+cand AS (
+  SELECT osm_id, ax, ay, bx, by, cx + di AS px, cy + dj AS py,
+         (CAST(cx + di AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcx,
+         (CAST(cy + dj AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcy
+  FROM pts,
+       (SELECT unnest(generate_series(-3, 2)) AS di),
+       (SELECT unnest(generate_series(-3, 2)) AS dj)
+  WHERE cx + di >= 0 AND cx + di < {n} AND cy + dj >= 0 AND cy + dj < {n}
+),
+pix AS (
+  SELECT DISTINCT osm_id, px, py
+  FROM cand WHERE {d2} <= {buf} * {buf}
+),
+hist AS (
+  SELECT osm_id,
+         SUM(CASE WHEN (px * {W.WC_MUL_X} + py * {W.WC_MUL_Y}) % {k} = 0
+                  THEN 1 ELSE 0 END) AS forest_px,
+         SUM(CASE WHEN (px * {W.WC_MUL_X} + py * {W.WC_MUL_Y}) % {k} IN (1, 2, 3)
+                  THEN 1 ELSE 0 END) AS field_px
+  FROM pix GROUP BY osm_id
+)
+SELECT osm_id,
+       CAST(forest_px AS BIGINT) AS forest_px,
+       CAST(field_px AS BIGINT) AS field_px,
+       CAST(forest_px + field_px AS BIGINT) AS total_px,
+       CAST(CASE WHEN forest_px + field_px = 0 THEN 0
+            ELSE (forest_px * 1000000) // (forest_px + field_px) END AS BIGINT)
+         AS forest_frac_micro,
+       CAST(CASE WHEN forest_px + field_px = 0 THEN 0
+            ELSE (field_px * 1000000) // (forest_px + field_px) END AS BIGINT)
+         AS field_frac_micro
+FROM hist"""
+
+
+@register("q45_buffer_histogram", None)
+def q45_buffer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer + ST_ValueCount kernel: per-road buffered pixel class
+    histogram with the reference's forest/field mapping and built-excluded
+    valid total (02_worldcover_sampling.sql:5-46)."""
+    from .operators import zonal
+
+    r = world.roads_materialized(spark, sf_dir)
+    s = world.segments(spark, sf_dir, r)
+    return zonal.buffer_class_histogram(s)
+
+
+ORACLES["q45_buffer_histogram"] = _q45_sql()

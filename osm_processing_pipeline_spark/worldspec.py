@@ -184,6 +184,17 @@ LANG_MARKERS = {
 ANN_TOPK = 3
 ANN_PLANES = 16
 
+# Line-interpolated raster sampling (hill_v2/03_compute_relief_from_raster
+# .sql:17-56): the reference samples every 2000 m along ways >= 2000 m and at
+# the centroid below; scaled to this world's road lengths (median ~1 km) the
+# sampling interval is 500 m.  n = max(1, ceil(len/interval)); sample t =
+# (gs + 0.5)/n — for a short way this degenerates to the single mid-line
+# point, which is the engine's stand-in for the reference's ST_Centroid
+# branch (kept ON the line).  All cumulative positions are int64 micrometres
+# so segment location is exact in both engines.
+RELIEF_SAMPLE_UM = 500_000_000      # 500 m in micrometres
+RELIEF_LONG_UM = 500_000_000        # short/long-way branch threshold
+
 # kNN / endpoint-proximity
 KNN_K = 3
 ENDPOINT_DIST_DEG = 0.001953125  # 4/2048 — HAdj 50m-equiv (07_assign...sql:63-97)
@@ -240,6 +251,18 @@ SPEED_LANE_MIN = 4
 WCLASSES = ["tree", "shrub", "grass", "crop", "built"]
 WC_MUL_X = 13
 WC_MUL_Y = 29
+
+# Buffer pixel histogram (sql/road_scenery_v2/02_worldcover_sampling.sql:5-46
+# — ST_Buffer(road, 25m) + ST_Clip + ST_ValueCount): a pixel belongs to a
+# road's buffer iff its CENTER is within BUF_PX pixels (Euclidean) of some
+# segment.  Candidates come from 6x6 windows around along-line samples spaced
+# SAMPLE_STEP_PX apart (any in-buffer pixel center is within BUF + step/2 =
+# 2 px of a sample, so the window is a guaranteed cover); the exact
+# point-to-segment refine decides membership.  Class mapping mirrors the
+# reference: forest = tree; field = shrub+grass+crop; built is EXCLUDED from
+# the valid total (the reference ignores classes 50/90/100).
+WC_BUF_PX = 1               # buffer radius, pixels (1 px ~ 109 m world-scale)
+WC_SAMPLE_STEP_PX = 2       # along-line candidate sample spacing, pixels
 
 # Vector-tile materialization (sql/visualization/vis_*_z10.sql:44-66):
 # (zoom, tiles_per_axis, vertex-decimation stride).  Decimation keeps every
