@@ -2338,3 +2338,481 @@ def q45_buffer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q45_buffer_histogram"] = _q45_sql()
+
+
+# --------------------------------------------------------------------- q46
+def _q46_sql() -> str:
+    from .operators import persona as P
+
+    fl = oracle.fl
+    # --- HAdj upgrade (q09 chain, prefixed) ---------------------------------
+    d = fl(W.ENDPOINT_DIST_DEG)
+    hd2 = og.point_dist2("e.lon", "e.lat", "h.hlon", "h.hlat")
+    # --- classification setting (q01 chain) ---------------------------------
+    lenm = og.seg_len_m()
+    piece = og.quantize_um(f"({og.seg_rect_frac()}) * ({lenm})")
+    u, s_, ru = ("COALESCE(c.u, 0)", "COALESCE(c.s, 0)", "COALESCE(c.ru, 0)")
+    tot = f"({u} + {s_} + {ru})"
+    setting = (f"CASE WHEN {tot} = 0 THEN 'Rural' "
+               f"WHEN {u} * 2 >= {tot} THEN 'Urban' "
+               f"WHEN ({u} + {s_}) * 2 >= {tot} THEN 'Semi_Urban' "
+               f"ELSE 'Rural' END")
+    # --- twist (q08 chain, prefixed) ----------------------------------------
+    M, Q = fl(W.M_PER_DEG), fl(W.LEN_Q)
+    win = int(W.SUPPRESS_M * 1.0e6)
+    nconf = len(W.CONFLICT_TYPES)
+    twist = ("CASE WHEN COALESCE(tt.total_len_um, 0) > 0 "
+             "THEN ((COALESCE(tr.sharp_len_um, 0) * 2 + "
+             "COALESCE(tr.broad_len_um, 0)) * 1000) "
+             "// GREATEST(tt.total_len_um, 1) ELSE 0 END")
+    # --- degradation (q28 chain, prefixed) ----------------------------------
+    dtop = ", ".join(f"'{h}'" for h in W.DEGRADE_TOP_HW)
+    dbase = (f"CASE WHEN n_ways >= 4 THEN {fl(W.DEGRADE_RED['major'])} "
+             f"WHEN n_ways = 3 THEN {fl(W.DEGRADE_RED['three_way'])} "
+             f"ELSE {fl(W.DEGRADE_RED['crossing'])} END")
+    # --- pressure (q12) at the rep cell (q02) -------------------------------
+    ppc = W.PX_PER_CELL
+    pdr = f"LEAST(pop_sum / {fl(W.POP_SAT_CELL)}, {fl(1.0)})"
+    bur = f"LEAST(built_sum / {fl(W.BUILT_SAT_CELL)}, {fl(1.0)})"
+    pressure = f"({fl(1.0)} - ({fl(1.0)} - {pdr}) * ({fl(1.0)} - {bur}))"
+    cd = fl(W.CELL_DEG)
+    rep = (f"GREATEST(0, LEAST({W.NY - 1}, CAST(floor(lat / {cd}) AS BIGINT))) "
+           f"* {W.NX} "
+           f"+ GREATEST(0, LEAST({W.NX - 1}, CAST(floor(lon / {cd}) AS BIGINT)))")
+    # --- scenery flags (q03 lakes PIP; q04-style distance joins) ------------
+    cross = og.point_in_poly_crossing("v.lon", "v.lat", "e.x1", "e.y1",
+                                      "e.x2", "e.y2")
+
+    def dist_hits(name: str, layer: str, dist: float) -> str:
+        dd = fl(dist)
+        sd2 = og.seg_point_dist2("s.ax", "s.ay", "s.bx", "s.by", "f.cx", "f.cy")
+        return f"""{name} AS (
+  SELECT DISTINCT s.osm_id
+  FROM segs s JOIN feats f ON f.layer = '{layer}'
+    AND f.cx >= LEAST(s.ax, s.bx) - {dd} AND f.cx <= GREATEST(s.ax, s.bx) + {dd}
+    AND f.cy >= LEAST(s.ay, s.by) - {dd} AND f.cy <= GREATEST(s.ay, s.by) + {dd}
+  WHERE {sd2} <= {dd} * {dd}
+)"""
+
+    # --- WorldCover buffer fractions (q45 chain, prefixed) ------------------
+    n, k = W.RASTER_PX, len(W.WCLASSES)
+    buf = fl(W.WC_BUF_PX / float(n))
+    step = fl(float(W.WC_SAMPLE_STEP_PX))
+    t = "(CAST(j AS DOUBLE) / CAST(m AS DOUBLE))"
+    wd2 = og.seg_point_dist2("ax", "ay", "bx", "by", "pcx", "pcy")
+    # --- shared formula stages ----------------------------------------------
+    bik = ", ".join(f"'{h}'" for h in W.BIKABLE)
+    first_int = ("COALESCE(CAST(NULLIF(regexp_extract(lanes, '([0-9]+)', 1), "
+                 "'') AS INT), 0)")
+    drv = ",\n         ".join(f"{e} AS {c}"
+                              for c, e in P.derived_exprs(fl).items())
+    par = ",\n         ".join(f"{e} AS {c}"
+                              for c, e in P.param_exprs(fl).items())
+    par2 = ",\n         ".join(f"{e} AS {c}"
+                               for c, e in P.param2_exprs(fl).items())
+    per = ",\n         ".join(f"{e} AS {c}"
+                              for c, e in P.persona_exprs(fl).items())
+    bounds = ", ".join(f"MIN({c}) AS {c}_mn, MAX({c}) AS {c}_mx"
+                       for c in P.PERSONA_COLS)
+    out_params = ",\n       ".join(
+        f"{P.quant(fl, c)} AS {c.replace('score_', '').replace('scenic_', '')}"
+        f"_micro" for c in P.PARAM_COLS)
+    out_pers = ",\n       ".join(f"{P.quant(fl, c)} AS {c}_micro"
+                                 for c in P.PERSONA_COLS)
+    out_norms = ",\n       ".join(
+        f"{P.quant(fl, P.norm_expr(fl, c, f'pb.{c}_mn', f'pb.{c}_mx'))} "
+        f"AS {c}_norm_micro" for c in P.PERSONA_COLS)
+    return f"""{oracle.with_world('segs', 'grid', 'verts', 'feat_edges')},
+h_types AS (
+  SELECT osm_id AS h_osm FROM roads_base
+  WHERE ref IS NOT NULL AND (upper(ref) LIKE '%NH%' OR upper(ref) LIKE '%SH%'
+                             OR upper(ref) LIKE '%MDR%')
+),
+h_nodes AS (
+  SELECT v.osm_id AS h_osm, v.lon AS hlon, v.lat AS hlat
+  FROM verts v JOIN h_types t ON v.osm_id = t.h_osm
+),
+h_eps AS (
+  SELECT osm_id, CASE WHEN k = 0 THEN 0 ELSE 1 END AS ep, lon, lat
+  FROM verts WHERE k = 0 OR k = nv - 1
+),
+h_matches AS (
+  SELECT DISTINCT e.osm_id, e.ep
+  FROM h_eps e JOIN h_nodes h ON h.h_osm != e.osm_id
+    AND h.hlon >= e.lon - {d} AND h.hlon <= e.lon + {d}
+    AND h.hlat >= e.lat - {d} AND h.hlat <= e.lat + {d}
+  WHERE {hd2} <= {d} * {d}
+),
+h_per AS (
+  SELECT osm_id,
+         MAX(CASE WHEN ep = 0 THEN 1 ELSE 0 END) = 1
+         AND MAX(CASE WHEN ep = 1 THEN 1 ELSE 0 END) = 1 AS hadj_upgrade
+  FROM h_matches GROUP BY osm_id
+),
+{og.cand_cells_ctes('segs')},
+cl_per AS (
+  SELECT c.osm_id,
+         SUM(CASE WHEN g.grid_class = 'Urban' THEN {piece} ELSE 0 END) AS u,
+         SUM(CASE WHEN g.grid_class = 'Semi_Urban' THEN {piece} ELSE 0 END) AS s,
+         SUM(CASE WHEN g.grid_class = 'Rural' THEN {piece} ELSE 0 END) AS ru
+  FROM seg_cells c JOIN grid g USING (grid_id)
+  WHERE {og.seg_rect_hit()}
+  GROUP BY c.osm_id
+),
+tw_segd AS (
+  SELECT osm_id, k, nv, lon, lat, node_id,
+         (LEAD(lon) OVER w - lon) * {M} AS sdx,
+         (LEAD(lat) OVER w - lat) * {M} AS sdy,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         LEAD(lon) OVER w AS nlon, LEAD(lat) OVER w AS nlat
+  FROM verts WINDOW w AS (PARTITION BY osm_id ORDER BY k)
+),
+tw_segq AS (
+  SELECT *,
+         CASE WHEN sdx IS NULL THEN 0
+              ELSE CAST(floor(sqrt(sdx*sdx + sdy*sdy) * {Q}) AS BIGINT) END AS seg_um
+  FROM tw_segd
+),
+tw_cumv AS (
+  SELECT *,
+         COALESCE(SUM(seg_um) OVER (PARTITION BY osm_id ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM tw_segq
+),
+tw_conf AS (SELECT osm_id, cum AS ccum FROM tw_cumv WHERE node_id % 97 < {nconf}),
+tw_interior AS (
+  SELECT v.osm_id,
+         (v.lon - v.plon) * {M} AS ux, (v.lat - v.plat) * {M} AS uy,
+         (v.nlon - v.lon) * {M} AS wx, (v.nlat - v.lat) * {M} AS wy,
+         (v.nlon - v.plon) * {M} AS cx_, (v.nlat - v.plat) * {M} AS cy_,
+         EXISTS (SELECT 1 FROM tw_conf c
+                 WHERE c.osm_id = v.osm_id AND abs(v.cum - c.ccum) <= {win}) AS sup
+  FROM tw_cumv v WHERE v.k >= 1 AND v.k <= v.nv - 2
+),
+tw_vm AS (
+  SELECT osm_id, sup,
+         sqrt(ux*ux + uy*uy) AS a,
+         sqrt(wx*wx + wy*wy) AS b,
+         sqrt(cx_*cx_ + cy_*cy_) AS c,
+         abs(ux*wy - uy*wx) AS area2,
+         (ux*wx + uy*wy) AS dot
+  FROM tw_interior
+),
+tw_judged AS (
+  SELECT osm_id, sup,
+         CAST(floor(((a + b) / 2.0e0) * {Q}) AS BIGINT) AS contrib_um,
+         NOT (dot > 0 AND area2 < {fl(W.SIN5)} * (a * b)) AS significant,
+         (a > 0 AND b > 0 AND area2 > 0) AS nonzero,
+         CASE WHEN area2 > 0 THEN (a * b * c) / (2.0e0 * area2) ELSE NULL END AS radius
+  FROM tw_vm
+),
+tw_flags AS (
+  SELECT osm_id, sup, contrib_um,
+         significant AND nonzero AND radius <= {fl(W.SHARP_RADIUS_M)} AS sharp,
+         significant AND nonzero AND radius <= {fl(W.BROAD_RADIUS_M)} AS broad0
+  FROM tw_judged
+),
+tw_roll AS (
+  SELECT osm_id,
+         SUM(CASE WHEN sharp AND NOT sup THEN contrib_um ELSE 0 END) AS sharp_len_um,
+         SUM(CASE WHEN broad0 AND NOT sharp AND NOT sup THEN contrib_um ELSE 0 END) AS broad_len_um
+  FROM tw_flags GROUP BY osm_id
+),
+tw_tot AS (SELECT osm_id, SUM(seg_um) AS total_len_um FROM tw_segq GROUP BY osm_id),
+dg_stats AS (
+  SELECT node_id,
+         COUNT(DISTINCT osm_id) AS n_ways,
+         COUNT(DISTINCT highway) AS n_types,
+         MAX(CASE WHEN k > 0 AND k < nv - 1 THEN 1 ELSE 0 END) AS mid
+  FROM verts GROUP BY node_id
+),
+dg_qual AS (
+  SELECT node_id, n_ways FROM dg_stats
+  WHERE n_ways >= 2 AND (n_ways >= 3 OR n_types >= 2 OR mid = 1)
+),
+dg_nt AS (SELECT DISTINCT node_id, highway FROM verts),
+dg_ranked AS (
+  SELECT node_id, highway,
+         ROW_NUMBER() OVER (PARTITION BY node_id
+                            ORDER BY {_sql_hier()} DESC, highway ASC) AS rn
+  FROM dg_nt
+),
+dg_top AS (
+  SELECT node_id, MAX(CASE WHEN rn = 1 THEN highway END) AS road_type_1
+  FROM dg_ranked WHERE rn <= 2 GROUP BY node_id
+),
+dg_nodes AS (
+  SELECT q.node_id,
+         CASE WHEN t.road_type_1 IN ({dtop}) THEN ({dbase}) * 2
+              ELSE {dbase} END AS red
+  FROM dg_qual q JOIN dg_top t USING (node_id)
+),
+dg_wn AS (SELECT DISTINCT osm_id, node_id FROM verts),
+dg_perway AS (
+  SELECT osm_id, COUNT(*) AS n_int,
+         SUM(CAST(round(red * {fl(W.LEN_Q)}) AS BIGINT)) AS sum_red_ppm,
+         list_sort(list({fl(1.0)} - red)) AS omr
+  FROM dg_wn JOIN dg_nodes USING (node_id) GROUP BY osm_id
+),
+dg_len AS (
+  SELECT osm_id, SUM({og.quantize_um(lenm)}) AS total_len_um
+  FROM segs GROUP BY osm_id
+),
+dg AS (
+  SELECT p.osm_id,
+         CAST(CASE WHEN l.total_len_um >= {W.DEGRADE_LEN_UM}
+              THEN sum_red_ppm // n_int
+              ELSE CAST(round(({fl(1.0)} - list_reduce(omr, (a, b) -> a * b))
+                              * {fl(W.LEN_Q)}) AS BIGINT) END AS BIGINT)
+           AS final_red_ppm
+  FROM dg_perway p JOIN dg_len l USING (osm_id)
+),
+{_pixels_cte()},
+pr_cells AS (
+  SELECT (py // {ppc}) * {W.NX} + (px // {ppc}) AS grid_id,
+         CAST(SUM(pop) AS BIGINT) AS pop_sum,
+         CAST(SUM(built) AS BIGINT) AS built_sum
+  FROM pixvals GROUP BY 1
+),
+pr_press AS (
+  SELECT grid_id,
+         CAST(floor({pressure} * {fl(1.0e6)}) AS BIGINT) AS pressure_micro
+  FROM pr_cells
+),
+pr_rep AS (
+  SELECT osm_id, {rep} AS grid_id FROM verts WHERE k = nv // 2
+),
+pr AS (
+  SELECT r.osm_id, p.pressure_micro
+  FROM pr_rep r JOIN pr_press p USING (grid_id)
+),
+lk AS (
+  SELECT DISTINCT osm_id FROM (
+    SELECT v.osm_id
+    FROM verts v
+    JOIN feats f ON f.is_poly AND f.layer = 'lakes'
+      AND v.lon >= f.cx - f.r AND v.lon <= f.cx + f.r
+      AND v.lat >= f.cy - f.r AND v.lat <= f.cy + f.r
+    JOIN feat_edges e ON e.feature_id = f.feature_id
+    GROUP BY v.osm_id, v.k, v.lon, v.lat, f.feature_id
+    HAVING SUM({cross}) % 2 = 1
+  )
+),
+{dist_hits('hl', 'hills_nodes', W.DIST_HILL_DEG)},
+{dist_hits('rv', 'rivers', W.DIST_RIVER_DEG)},
+wc_sam AS (
+  SELECT osm_id, ax, ay, bx, by,
+         GREATEST(1, CAST(ceil((sqrt((bx - ax) * (bx - ax)
+                                     + (by - ay) * (by - ay)) * {fl(float(n))})
+                               / {step}) AS BIGINT)) AS m
+  FROM segs
+),
+wc_pts AS (
+  SELECT osm_id, ax, ay, bx, by,
+         CAST(floor((ax + (bx - ax) * {t}) * {fl(float(n))}) AS BIGINT) AS cx,
+         CAST(floor((ay + (by - ay) * {t}) * {fl(float(n))}) AS BIGINT) AS cy
+  FROM (SELECT *, unnest(generate_series(0, m)) AS j FROM wc_sam)
+),
+wc_cand AS (
+  SELECT osm_id, ax, ay, bx, by, cx + di AS px, cy + dj AS py,
+         (CAST(cx + di AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcx,
+         (CAST(cy + dj AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcy
+  FROM wc_pts,
+       (SELECT unnest(generate_series(-3, 2)) AS di),
+       (SELECT unnest(generate_series(-3, 2)) AS dj)
+  WHERE cx + di >= 0 AND cx + di < {n} AND cy + dj >= 0 AND cy + dj < {n}
+),
+wc_pix AS (
+  SELECT DISTINCT osm_id, px, py FROM wc_cand WHERE {wd2} <= {buf} * {buf}
+),
+wc AS (
+  SELECT osm_id,
+         SUM(CASE WHEN (px * {W.WC_MUL_X} + py * {W.WC_MUL_Y}) % {k} = 0
+                  THEN 1 ELSE 0 END) AS forest_px,
+         SUM(CASE WHEN (px * {W.WC_MUL_X} + py * {W.WC_MUL_Y}) % {k} IN (1, 2, 3)
+                  THEN 1 ELSE 0 END) AS field_px
+  FROM wc_pix GROUP BY osm_id
+),
+inraw AS (
+  SELECT b.osm_id, b.highway, b.ref, b.lanes, b.oneway,
+         COALESCE(h.hadj_upgrade, FALSE) AS hadj_upgrade,
+         {setting} AS road_setting,
+         COALESCE(tw_p.twist_permille, 0) AS twist_permille,
+         dg.final_red_ppm,
+         COALESCE(pr.pressure_micro, 0) AS pressure_micro,
+         hl.osm_id IS NOT NULL AS near_hill,
+         rv.osm_id IS NOT NULL AS near_river,
+         lk.osm_id IS NOT NULL AS in_lake,
+         CAST(COALESCE(wc.forest_px, 0) AS BIGINT) AS forest_px,
+         CAST(COALESCE(wc.field_px, 0) AS BIGINT) AS field_px,
+         CAST(COALESCE(wc.forest_px, 0) + COALESCE(wc.field_px, 0) AS BIGINT)
+           AS total_px
+  FROM (SELECT * FROM roads_base WHERE highway IN ({bik})) b
+  LEFT JOIN h_per h USING (osm_id)
+  LEFT JOIN cl_per c USING (osm_id)
+  LEFT JOIN (
+    SELECT r.osm_id,
+           CAST({twist.replace('tr.', 'tr2.').replace('tt.', 'tt2.')} AS BIGINT)
+             AS twist_permille
+    FROM roads_base r
+    LEFT JOIN tw_roll tr2 ON tr2.osm_id = r.osm_id
+    LEFT JOIN tw_tot tt2 ON tt2.osm_id = r.osm_id
+  ) tw_p USING (osm_id)
+  LEFT JOIN dg USING (osm_id)
+  LEFT JOIN pr USING (osm_id)
+  LEFT JOIN hl ON hl.osm_id = b.osm_id
+  LEFT JOIN rv ON rv.osm_id = b.osm_id
+  LEFT JOIN lk ON lk.osm_id = b.osm_id
+  LEFT JOIN wc ON wc.osm_id = b.osm_id
+),
+inputs AS (
+  SELECT osm_id,
+         {P.road_type_v2_expr()} AS road_type_v2,
+         CASE WHEN UPPER(COALESCE(oneway, '')) IN ('YES', 'TRUE', '1', '-1')
+                   AND {first_int} >= 2 THEN 'yes' ELSE 'no' END AS fourlane,
+         road_setting, twist_permille, final_red_ppm, pressure_micro,
+         near_hill, near_river, in_lake, forest_px, field_px, total_px
+  FROM inraw
+),
+drv AS (
+  SELECT *,
+         {drv}
+  FROM inputs
+),
+par AS (
+  SELECT *,
+         {par}
+  FROM drv
+),
+par2 AS (
+  SELECT *,
+         {par2}
+  FROM par
+),
+per AS (
+  SELECT *,
+         {per}
+  FROM par2
+),
+pb AS (SELECT {bounds} FROM per)
+SELECT osm_id, road_type_v2, fourlane,
+       {out_params},
+       {out_pers},
+       {out_norms}
+FROM per, pb"""
+
+
+@register("q46_persona_v2", None)
+def q46_persona_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composite: the reference's headline persona-v2 pipeline, chaining
+    classification (q01), HAdj road type (q09), fourlane (q42), twistiness
+    (q08), intersection degradation (q28), urban pressure at the rep tile
+    (q02+q12), scenery flags (q03/q04 + river) and WorldCover buffer
+    fractions (q45) into the ten parameter scores, four persona scores and
+    global min/max normalization (persona_v2_run.py:344-495,
+    01_compute_parameter_scores.sql, 02_compute_persona_scores.sql,
+    03_normalize_persona_scores.sql)."""
+    from .functions import cells
+    from .operators import persona as P
+    from .operators import scoring, zonal
+    from .sources.raster import raster_tiles
+
+    sfl = P.spark_fl
+    r = world.roads_materialized(spark, sf_dir)
+    s = world.segments(spark, sf_dir, r)
+    g = world.grids(spark)
+    wn = world.way_nodes(spark, sf_dir, r)
+    feats = world.features(spark, sf_dir)
+
+    bik = r.filter(F.col("highway").isin(W.BIKABLE)) \
+           .select("osm_id", "highway", "ref", "lanes", "oneway")
+    hadj = q09_endpoint_proximity_upgrade(spark, sf_dir) \
+        .select("osm_id", "hadj_upgrade")
+    setting = classify.classify_roads(r, s, g).select("osm_id", "road_setting")
+    tw = q08_curvature(spark, sf_dir).select("osm_id", "twist_permille")
+    dg = scoring.intersection_degradation(wn, s) \
+        .select("osm_id", "final_red_ppm")
+    mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
+    rep = r.select(
+        "osm_id",
+        cells.cell_of_point(F.element_at("vertices", mid)["lon"],
+                            F.element_at("vertices", mid)["lat"])
+        .alias("grid_id"))
+    pressure = zonal.urban_pressure(
+        zonal.zonal_cell_sums(raster_tiles(spark))) \
+        .select("grid_id", "pressure_micro")
+    press = rep.join(pressure, "grid_id", "left") \
+               .select("osm_id", "pressure_micro")
+    wpts = wn.select(F.col("way_id").alias("osm_id"), "lon", "lat")
+    lakes = (spatial_join.point_in_polygon_join(
+                wpts, feats.filter(F.col("layer") == "lakes"))
+             .select("osm_id").distinct().withColumn("_lake", F.lit(1)))
+    rcells = spatial_join.road_cells(s)
+
+    def dist_flag(layer: str, dist: float, mark: str) -> DataFrame:
+        pts = feats.filter(F.col("layer") == layer) \
+                   .select("feature_id", "cx", "cy")
+        return (spatial_join.distance_pairs_full_partial(s, rcells, pts, dist)
+                .select("osm_id").distinct().withColumn(mark, F.lit(1)))
+
+    hills = dist_flag("hills_nodes", W.DIST_HILL_DEG, "_hill")
+    rivers = dist_flag("rivers", W.DIST_RIVER_DEG, "_river")
+    wc = zonal.buffer_class_histogram(s) \
+        .select("osm_id", "forest_px", "field_px")
+
+    joined = (bik
+              .join(hadj, "osm_id", "left")
+              .join(setting, "osm_id", "left")
+              .join(tw, "osm_id", "left")
+              .join(dg, "osm_id", "left")
+              .join(press, "osm_id", "left")
+              .join(lakes, "osm_id", "left")
+              .join(hills, "osm_id", "left")
+              .join(rivers, "osm_id", "left")
+              .join(wc, "osm_id", "left"))
+    inputs = joined.select(
+        "osm_id", "lanes", "oneway",
+        F.expr(P.road_type_v2_expr()).alias("road_type_v2"),
+        F.coalesce("road_setting", F.lit("Rural")).alias("road_setting"),
+        F.coalesce("twist_permille", F.lit(0)).alias("twist_permille"),
+        "final_red_ppm",
+        F.coalesce("pressure_micro", F.lit(0)).alias("pressure_micro"),
+        F.col("_hill").isNotNull().alias("near_hill"),
+        F.col("_river").isNotNull().alias("near_river"),
+        F.col("_lake").isNotNull().alias("in_lake"),
+        F.coalesce("forest_px", F.lit(0)).cast("long").alias("forest_px"),
+        F.coalesce("field_px", F.lit(0)).cast("long").alias("field_px"),
+        (F.coalesce("forest_px", F.lit(0)) + F.coalesce("field_px", F.lit(0)))
+        .cast("long").alias("total_px"))
+    inputs = inputs.withColumn("fourlane", F.expr(
+        "CASE WHEN UPPER(COALESCE(oneway, '')) IN ('YES', 'TRUE', '1', '-1') "
+        "AND COALESCE(CAST(NULLIF(regexp_extract(lanes, '([0-9]+)', 1), '') "
+        "AS INT), 0) >= 2 THEN 'yes' ELSE 'no' END"))
+    d = inputs
+    for stage in (P.derived_exprs(sfl), P.param_exprs(sfl),
+                  P.param2_exprs(sfl), P.persona_exprs(sfl)):
+        for cname, e in stage.items():
+            d = d.withColumn(cname, F.expr(e))
+    # two-pass normalization: materialize once (lineage truncation), collect
+    # global bounds on the driver, fold back as literals
+    # (persona_v2_run.py:264-339)
+    d = d.localCheckpoint(eager=True)
+    aggs = []
+    for c in P.PERSONA_COLS:
+        aggs += [F.min(c).alias(f"{c}_mn"), F.max(c).alias(f"{c}_mx")]
+    b = d.agg(*aggs).first()
+    out_cols = [F.col("osm_id"), F.col("road_type_v2"), F.col("fourlane")]
+    for c in P.PARAM_COLS:
+        name = c.replace("score_", "").replace("scenic_", "") + "_micro"
+        out_cols.append(F.expr(P.quant(sfl, c)).alias(name))
+    for c in P.PERSONA_COLS:
+        out_cols.append(F.expr(P.quant(sfl, c)).alias(f"{c}_micro"))
+    for c in P.PERSONA_COLS:
+        mn, mx = sfl(b[f"{c}_mn"]), sfl(b[f"{c}_mx"])
+        out_cols.append(
+            F.expr(P.quant(sfl, P.norm_expr(sfl, c, mn, mx)))
+            .alias(f"{c}_norm_micro"))
+    return d.select(*out_cols)
+
+
+ORACLES["q46_persona_v2"] = _q46_sql()
