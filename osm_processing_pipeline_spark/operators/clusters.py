@@ -12,14 +12,23 @@ hash join + aggregation on (cell, label) pairs.  At planetary scale the same
 loop runs on the cell table partitioned by cell id; diameters of urban blobs
 are small, so few iterations are needed (large-star/small-star would cut the
 worst case further).
+
+``dbscan`` adds the ST_ClusterDBSCAN option
+(sql/urban_clusters/02_clusters_opt3_test.sql:52-60, eps=1500 m,
+minpoints=3): eps-neighborhood join (k-ring candidates + exact Euclidean
+center distance), core-point filter, CC over the core-core graph, border
+cells attached to the min core-neighbor component, noise dropped.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import worldspec as W
+from ..functions import cells as C
 
 
 def cell_neighbors(cells: DataFrame) -> DataFrame:
@@ -42,24 +51,32 @@ def cell_neighbors(cells: DataFrame) -> DataFrame:
 
 def connected_components(cells: DataFrame, max_iters: int = 64,
                          driver_threshold: int = 200_000) -> DataFrame:
-    """cells(grid_id) -> (grid_id, component) with component = min cell id
-    reachable; exact fixpoint.
+    """cells(grid_id) -> (grid_id, component) over 4-adjacency; component =
+    min reachable cell id (exact fixpoint)."""
+    return connected_components_edges(cells, cell_neighbors(cells),
+                                      max_iters, driver_threshold)
+
+
+def connected_components_edges(cells: DataFrame, edges: DataFrame,
+                               max_iters: int = 64,
+                               driver_threshold: int = 200_000) -> DataFrame:
+    """Generic CC: cells(grid_id) + symmetric edges(grid_id, nbr) ->
+    (grid_id, component = min reachable id); exact fixpoint.
 
     Small inputs (the common case after the urban filter — SURVEY.md W6:
     "small data: collect cell ids to driver, union-find") take the exact
     driver union-find path, mirroring the reference's driver-side global
     reductions (persona_v2_run.py:264-339); large inputs iterate
-    distributed min-label propagation."""
+    distributed min-label propagation over the given edge set."""
     cells = cells.persist()
     n = cells.count()
-    out = (_driver_union_find(cells) if n <= driver_threshold
-           else _iterative_components(cells, max_iters))
+    out = (_driver_union_find(cells, edges) if n <= driver_threshold
+           else _iterative_components(cells, edges, max_iters))
     return out
 
 
-def _driver_union_find(cells: DataFrame) -> DataFrame:
+def _driver_union_find(cells: DataFrame, edges: DataFrame) -> DataFrame:
     ids = sorted(r[0] for r in cells.select("grid_id").collect())
-    idset = set(ids)
     parent = {g: g for g in ids}
 
     def find(x: int) -> int:
@@ -68,22 +85,73 @@ def _driver_union_find(cells: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for g in ids:
-        i, j = g % W.NX, g // W.NX
-        for nb in (g - 1 if i > 0 else None, g + 1 if i < W.NX - 1 else None,
-                   g - W.NX if j > 0 else None, g + W.NX if j < W.NY - 1 else None):
-            if nb is not None and nb in idset:
-                ra, rb = find(g), find(nb)
-                if ra != rb:
-                    # union by min id so the component label is the min cell
-                    lo, hi = min(ra, rb), max(ra, rb)
-                    parent[hi] = lo
+    for g, nb in edges.select("grid_id", "nbr").collect():
+        ra, rb = find(g), find(nb)
+        if ra != rb:
+            # union by min id so the component label is the min cell
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
     rows = [(g, find(g)) for g in ids]
     return cells.sparkSession.createDataFrame(rows, "grid_id long, component long")
 
 
-def _iterative_components(cells: DataFrame, max_iters: int) -> DataFrame:
-    edges = cell_neighbors(cells).localCheckpoint(eager=True)
+def _center(cid):
+    """Cell-center coordinates derived from the id — the same expression
+    tree as the oracle's grid CTE (x0 + CELL/2 with x0 = (id % NX) * CELL)."""
+    cx = (cid % F.lit(W.NX)).cast("double") * F.lit(W.CELL_DEG) \
+        + F.lit(W.CELL_DEG / 2.0)
+    cy = F.floor(cid / F.lit(W.NX)).cast("double") * F.lit(W.CELL_DEG) \
+        + F.lit(W.CELL_DEG / 2.0)
+    return cx, cy
+
+
+def eps_neighbors(cells: DataFrame, eps_deg_num: float,
+                  eps_deg_den: float) -> DataFrame:
+    """Directed (grid_id, nbr) pairs of qualifying cells whose centers are
+    within eps = num/den degrees (Euclidean) — k-ring candidate join + exact
+    d^2 refine, never a self cross-join.  eps is passed as a num/den pair so
+    both engines evaluate the identical division."""
+    eps = F.lit(eps_deg_num) / F.lit(eps_deg_den)
+    r = int(math.ceil((eps_deg_num / eps_deg_den) / W.CELL_DEG))
+    cand = (cells.select("grid_id")
+            .withColumn("nbr", F.explode(C.kring(F.col("grid_id"), r)))
+            .filter(F.col("nbr") != F.col("grid_id"))
+            .join(cells.select(F.col("grid_id").alias("nbr")), "nbr",
+                  "left_semi"))
+    ax, ay = _center(F.col("grid_id"))
+    bx, by = _center(F.col("nbr"))
+    dx = ax - bx
+    dy = ay - by
+    return cand.filter(dx * dx + dy * dy <= eps * eps)
+
+
+def dbscan(cells: DataFrame, eps_deg_num: float, eps_deg_den: float,
+           minpts: int) -> DataFrame:
+    """(grid_id, is_core, cluster) — ST_ClusterDBSCAN semantics with
+    deterministic labels: cluster = min core-cell id of the component;
+    border cells take the MIN component among their core neighbors; noise
+    cells are dropped (the reference filters cluster_id IS NOT NULL)."""
+    nbrs = eps_neighbors(cells, eps_deg_num, eps_deg_den)
+    nn = nbrs.groupBy("grid_id").agg(F.count("*").alias("nn"))
+    core = nn.filter(F.col("nn") + 1 >= minpts).select("grid_id")
+    core_edges = (nbrs.join(core, "grid_id", "left_semi")
+                  .join(core.select(F.col("grid_id").alias("nbr")), "nbr",
+                        "left_semi"))
+    comp = connected_components_edges(core, core_edges)
+    core_out = comp.select("grid_id", F.lit(True).alias("is_core"),
+                           F.col("component").alias("cluster"))
+    border = (nbrs.join(core, "grid_id", "left_anti")
+              .join(comp.select(F.col("grid_id").alias("nbr"), "component"),
+                    "nbr")
+              .groupBy("grid_id")
+              .agg(F.min("component").alias("cluster"))
+              .select("grid_id", F.lit(False).alias("is_core"), "cluster"))
+    return core_out.unionByName(border)
+
+
+def _iterative_components(cells: DataFrame, edges: DataFrame,
+                          max_iters: int) -> DataFrame:
+    edges = edges.localCheckpoint(eager=True)
     labels = cells.select("grid_id", F.col("grid_id").alias("component")) \
                   .localCheckpoint(eager=True)
     for _ in range(max_iters):

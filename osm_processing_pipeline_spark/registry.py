@@ -202,7 +202,8 @@ def _q04_sql() -> str:
     def hits(layer: str, d: float, name: str, rarity: int = 1) -> str:
         dd = oracle.fl(d)
         d2 = og.seg_point_dist2("s.ax", "s.ay", "s.bx", "s.by", "f.cx", "f.cy")
-        rar = f" AND f.feature_id % {rarity} = 0" if rarity > 1 else ""
+        rar = (f" AND f.feature_id % {rarity} = {W.PASS_RESIDUE}"
+               if rarity > 1 else "")
         return f"""{name} AS (
   SELECT s.osm_id, COUNT(DISTINCT f.feature_id) AS n
   FROM segs s JOIN feats f ON f.layer = '{layer}'{rar}
@@ -237,7 +238,7 @@ def q04_distance_join_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
     def flag(layer: str, d: float, rarity: int = 1) -> DataFrame:
         pts = feats.filter(F.col("layer") == layer)
         if rarity > 1:
-            pts = pts.filter(F.col("feature_id") % rarity == 0)
+            pts = pts.filter(F.col("feature_id") % rarity == W.PASS_RESIDUE)
         pts = pts.select("feature_id", "cx", "cy")
         j = spatial_join.distance_pairs_full_partial(s, rcells, pts, d)
         return j.groupBy("osm_id").agg(F.count("*").alias("n"))
@@ -2816,3 +2817,126 @@ def q46_persona_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q46_persona_v2"] = _q46_sql()
+
+
+# --------------------------------------------------------------------- q47
+def _q47_sql() -> str:
+    fl = oracle.fl
+    cd = fl(W.CELL_DEG)
+    cd2 = fl(W.CELL_DEG / 2.0)
+    eps = f"({fl(W.DBSCAN_EPS_M)} / {fl(W.M_PER_DEG)})"
+    cell = (f"GREATEST(0, LEAST({W.NY - 1}, CAST(floor(cy / {cd}) AS BIGINT)))"
+            f" * {W.NX} + "
+            f"GREATEST(0, LEAST({W.NX - 1}, CAST(floor(cx / {cd}) AS BIGINT)))")
+    vcell = (f"GREATEST(0, LEAST({W.NY - 1}, CAST(floor(lat / {cd}) AS BIGINT)"
+             f")) * {W.NX} + "
+             f"GREATEST(0, LEAST({W.NX - 1}, CAST(floor(lon / {cd}) AS BIGINT)))")
+    return f"""WITH RECURSIVE {oracle.with_world('verts', 'feats')[5:]},
+vc AS (
+  SELECT {vcell} AS grid_id, COUNT(*) AS cnt FROM verts GROUP BY 1
+),
+vtot AS (SELECT SUM(cnt) AS v, COUNT(*) AS nc FROM vc),
+passcells AS (
+  SELECT {cell} AS pc FROM feats
+  WHERE layer = 'mountain_pass'
+    AND feature_id % {W.PASS_RARITY} = {W.PASS_RESIDUE}
+),
+q AS (
+  SELECT grid_id FROM vc, vtot WHERE cnt * nc >= 4 * v
+  UNION
+  SELECT pc + di AS grid_id
+  FROM passcells, (SELECT unnest(generate_series(-2, 2)) AS di)
+  WHERE pc % {W.NX} + di >= 0 AND pc % {W.NX} + di < {W.NX}
+  UNION
+  SELECT {cell} AS grid_id FROM feats WHERE layer = 'hills_nodes'
+),
+ctr AS (
+  SELECT grid_id,
+         CAST(grid_id % {W.NX} AS DOUBLE) * {cd} + {cd2} AS cx,
+         CAST(grid_id // {W.NX} AS DOUBLE) * {cd} + {cd2} AS cy
+  FROM q
+),
+pairs AS (
+  SELECT a.grid_id AS ga, b.grid_id AS gb
+  FROM ctr a JOIN ctr b ON b.grid_id != a.grid_id
+  WHERE (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)
+        <= {eps} * {eps}
+),
+core AS (
+  SELECT ga AS grid_id FROM pairs GROUP BY ga
+  HAVING COUNT(*) + 1 >= {W.DBSCAN_MINPTS}
+),
+ce AS (
+  SELECT p.ga AS a, p.gb AS b
+  FROM pairs p
+  JOIN core c1 ON c1.grid_id = p.ga
+  JOIN core c2 ON c2.grid_id = p.gb
+),
+reach(a, b) AS (
+  SELECT grid_id, grid_id FROM core
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ce e ON e.a = r.b
+),
+comp AS (SELECT a AS grid_id, MIN(b) AS component FROM reach GROUP BY a),
+border AS (
+  SELECT p.ga AS grid_id, MIN(c.component) AS cluster
+  FROM pairs p JOIN comp c ON c.grid_id = p.gb
+  WHERE p.ga NOT IN (SELECT grid_id FROM core)
+  GROUP BY p.ga
+),
+lab AS (
+  SELECT grid_id, TRUE AS is_core, component AS cluster FROM comp
+  UNION ALL
+  SELECT grid_id, FALSE AS is_core, cluster FROM border
+)
+SELECT grid_id, is_core, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM lab"""
+
+
+@register("q47_dbscan_clusters", None)
+def q47_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ClusterDBSCAN option (02_clusters_opt3_test.sql:52-60, eps=1500 m,
+    minpoints=3) over a multi-modal cell set — the dense-vertex urban blob
+    (>= 4x mean vertex density), 5-cell line clumps at the rare mountain
+    passes, and the scattered hill cells — so clusters, border cells AND
+    noise all occur.  eps-neighborhood k-ring join + core filter + CC over the core
+    graph; border cells take the min core-neighbor component, noise is
+    dropped; deterministic labels (min core cell id)."""
+    from pyspark.sql import Window
+
+    from .functions import cells
+    from .operators import clusters
+
+    wn = world.way_nodes(spark, sf_dir)
+    vc = (wn.select(cells.cell_of_point(F.col("lon"), F.col("lat"))
+                    .alias("grid_id"))
+          .groupBy("grid_id").agg(F.count("*").alias("cnt")))
+    vtot = vc.agg(F.sum("cnt").alias("v"), F.count("*").alias("nc"))
+    dense = (vc.crossJoin(F.broadcast(vtot))
+             .filter(F.col("cnt") * F.col("nc") >= 4 * F.col("v"))
+             .select("grid_id"))
+    feats = world.features(spark, sf_dir)
+    passes = (feats.filter(
+        (F.col("layer") == "mountain_pass")
+        & (F.col("feature_id") % W.PASS_RARITY == W.PASS_RESIDUE))
+        .select(cells.cell_of_point(F.col("cx"), F.col("cy")).alias("pc")))
+    # horizontal 5-cell line per pass: interior cells are core, the two tips
+    # have a single eps-neighbor — genuine DBSCAN border cells
+    clumps = (passes
+              .select("pc", F.explode(F.sequence(F.lit(-2), F.lit(2)))
+                      .alias("di"))
+              .filter((F.col("pc") % W.NX + F.col("di") >= 0)
+                      & (F.col("pc") % W.NX + F.col("di") < W.NX))
+              .select((F.col("pc") + F.col("di")).alias("grid_id")))
+    hills = (feats.filter(F.col("layer") == "hills_nodes")
+             .select(cells.cell_of_point(F.col("cx"), F.col("cy"))
+                     .alias("grid_id")))
+    q = dense.unionByName(clumps).unionByName(hills).distinct()
+    out = clusters.dbscan(q, W.DBSCAN_EPS_M, W.M_PER_DEG, W.DBSCAN_MINPTS)
+    w = Window.partitionBy("cluster")
+    return out.select("grid_id", "is_core", "cluster",
+                      F.count("*").over(w).cast("long").alias("cluster_size"))
+
+
+ORACLES["q47_dbscan_clusters"] = _q47_sql()

@@ -264,6 +264,13 @@ WC_MUL_Y = 29
 WC_BUF_PX = 1               # buffer radius, pixels (1 px ~ 109 m world-scale)
 WC_SAMPLE_STEP_PX = 2       # along-line candidate sample spacing, pixels
 
+# DBSCAN clustering option (sql/urban_clusters/02_clusters_opt3_test.sql:
+# 52-60): eps = 1500 m on cell centers, minpoints = 3 (including self).
+# eps is carried as a num/den pair so both engines evaluate the identical
+# IEEE division (1500/111320 deg).
+DBSCAN_EPS_M = 1500.0
+DBSCAN_MINPTS = 3
+
 # Vector-tile materialization (sql/visualization/vis_*_z10.sql:44-66):
 # (zoom, tiles_per_axis, vertex-decimation stride).  Decimation keeps every
 # stride-th vertex plus the final vertex — the deterministic stand-in for
@@ -283,8 +290,13 @@ NEARDUP_COS_NANO = 420_000_000
 # Mountain passes are rare in reality (a handful across a subcontinent vs a
 # 10 km proximity radius); mirror that ratio in the synthetic world so the
 # pass distance join has the reference's selectivity rather than flagging
-# most of the map: keep feature_id % PASS_RARITY == 0.
+# most of the map: keep feature_id % PASS_RARITY == PASS_RESIDUE.
+# The residue must be 6: layer = feature_id % 8 (b % 8 == partkey % 8 since
+# the multiplier is ≡1 mod 8), and mountain_pass is layer index 6 — residue
+# 0 would intersect the mountain_pass stratum EMPTILY (every %32==0 key is
+# layer 0), silently making near_pass vacuous.
 PASS_RARITY = 32
+PASS_RESIDUE = 6
 
 # Version of the synthetic-world derivation; bump when any formula above
 # changes so checkpoint lineage hashes invalidate stale per-range outputs.

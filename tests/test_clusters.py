@@ -13,10 +13,11 @@ def test_union_find_equals_iterative(spark):
            300,                     # isolated
            127, 255]                # right-border pair (vertical adjacency)
     cells = spark.createDataFrame([(i,) for i in ids], "grid_id long")
+    edges = clusters.cell_neighbors(cells)
     uf = {r.grid_id: r.component
-          for r in clusters._driver_union_find(cells).collect()}
+          for r in clusters._driver_union_find(cells, edges).collect()}
     it = {r.grid_id: r.component
-          for r in clusters._iterative_components(cells, 64).collect()}
+          for r in clusters._iterative_components(cells, edges, 64).collect()}
     assert uf == it
     assert uf[256] == 0 and uf[134] == 5 and uf[300] == 300
     # 127 (i=127,j=0) and 255 (i=127,j=1) are vertical neighbors
