@@ -49,6 +49,10 @@ HEADLINE = [
     "q27_urban_clusters",
     "q28_intersection_degradation",
     "q32_vector_tiles",
+    "q44_line_relief_sample",
+    "q45_buffer_histogram",
+    "q46_persona_v2",
+    "q47_dbscan_clusters",
 ]
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")

@@ -52,9 +52,24 @@ def cell_neighbors(cells: DataFrame) -> DataFrame:
 def connected_components(cells: DataFrame, max_iters: int = 64,
                          driver_threshold: int = 200_000) -> DataFrame:
     """cells(grid_id) -> (grid_id, component) over 4-adjacency; component =
-    min reachable cell id (exact fixpoint)."""
-    return connected_components_edges(cells, cell_neighbors(cells),
-                                      max_iters, driver_threshold)
+    min reachable cell id (exact fixpoint).
+
+    The driver path derives 4-neighbors in pure Python from the collected
+    ids (no Spark job for the edge list); the distributed path uses the
+    computed ``cell_neighbors`` join."""
+    cells = cells.persist()
+    n = cells.count()
+    if n <= driver_threshold:
+        ids = sorted(r[0] for r in cells.select("grid_id").collect())
+        idset = set(ids)
+        edges = [(g, nb) for g in ids
+                 for nb in (g - 1 if g % W.NX > 0 else None,
+                            g + 1 if g % W.NX < W.NX - 1 else None,
+                            g - W.NX if g // W.NX > 0 else None,
+                            g + W.NX if g // W.NX < W.NY - 1 else None)
+                 if nb is not None and nb in idset]
+        return _union_find(cells, ids, edges)
+    return _iterative_components(cells, cell_neighbors(cells), max_iters)
 
 
 def connected_components_edges(cells: DataFrame, edges: DataFrame,
@@ -77,6 +92,12 @@ def connected_components_edges(cells: DataFrame, edges: DataFrame,
 
 def _driver_union_find(cells: DataFrame, edges: DataFrame) -> DataFrame:
     ids = sorted(r[0] for r in cells.select("grid_id").collect())
+    pairs = [(r[0], r[1]) for r in edges.select("grid_id", "nbr").collect()]
+    return _union_find(cells, ids, pairs)
+
+
+def _union_find(cells: DataFrame, ids: list[int],
+                edges: list[tuple[int, int]]) -> DataFrame:
     parent = {g: g for g in ids}
 
     def find(x: int) -> int:
@@ -85,7 +106,7 @@ def _driver_union_find(cells: DataFrame, edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for g, nb in edges.select("grid_id", "nbr").collect():
+    for g, nb in edges:
         ra, rb = find(g), find(nb)
         if ra != rb:
             # union by min id so the component label is the min cell

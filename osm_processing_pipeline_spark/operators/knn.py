@@ -25,7 +25,7 @@ from ..worldspec import CELL_DEG, NX, NY
 
 
 def knn_join(qpts: DataFrame, nodes: DataFrame, k: int,
-             rings: tuple[int, ...] = (2, 8, 32)) -> DataFrame:
+             rings: tuple[int, ...] = (2, 8)) -> DataFrame:
     """qpts(query_id, qx, qy) x nodes(node_id, lon, lat) -> exact k nearest
     per query: (query_id, rank, node_id, d2)."""
     nodes_c = nodes.withColumn(

@@ -75,7 +75,9 @@ def brute_force_topk(embeddings: DataFrame, k: int,
 
     spark = embeddings.sparkSession
     if n_chunks is None:
-        n_chunks = max(1, spark.sparkContext.defaultParallelism)
+        # ~2-4 grid cells per core: fat enough for the GEMM to amortize the
+        # Arrow/worker overhead, parallel enough to fill the cluster
+        n_chunks = max(1, min(spark.sparkContext.defaultParallelism, 8))
     e = embeddings.select("vec_id", "embedding")
     packed = F.collect_list(F.struct("vec_id", "embedding")).alias("items")
     chunks = (e.groupBy(F.pmod("vec_id", F.lit(n_chunks)).alias("pc"))
@@ -88,33 +90,36 @@ def brute_force_topk(embeddings: DataFrame, k: int,
         ids = np.asarray([d["vec_id"] for d in items], dtype=np.int64)
         M = np.floor(np.stack([np.asarray(d["embedding"], dtype=np.float64)
                                for d in items]) * QIN)
-        return ids, M
+        order = np.argsort(ids, kind="stable")
+        return ids[order], M[order]
 
     def kernel(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                a_ids, Aq = _unpack(row["probe_items"])
-                b_ids, Bq = _unpack(row["index_items"])
+            for pr_items, ix_items in zip(pdf["probe_items"],
+                                          pdf["index_items"]):
+                a_ids, Aq = _unpack(pr_items)
+                b_ids, Bq = _unpack(ix_items)   # id-ascending: stable sort on
+                #                                 -cos then yields id-asc ties
                 na = (Aq * Aq).sum(axis=1)   # exact: terms < 2^40, sum < 2^46
                 nb = (Bq * Bq).sum(axis=1)
-                ok_b = nb > 0
                 # one BLAS matmul per (chunk, shard) grid cell: every product
                 # and partial sum is an exact float64 integer
                 dt = Aq @ Bq.T
-                cos = np.floor((dt / np.sqrt(na[:, None] * nb[None, :])) * 1.0e9)
-                out_v, out_n, out_c = [], [], []
-                for r in range(len(a_ids)):
-                    if na[r] <= 0:
-                        continue
-                    mask = ok_b & (b_ids != a_ids[r])
-                    c = cos[r][mask]
-                    ids = b_ids[mask]
-                    order = np.lexsort((ids, -c))[:k]
-                    out_v.extend([a_ids[r]] * len(order))
-                    out_n.extend(ids[order])
-                    out_c.extend(c[order].astype(np.int64))
-                yield pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n,
-                                    "cos_nano": out_c})
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.floor(
+                        (dt / np.sqrt(na[:, None] * nb[None, :])) * 1.0e9)
+                valid = ((na > 0)[:, None] & (nb > 0)[None, :]
+                         & (b_ids[None, :] != a_ids[:, None]))
+                cosm = np.where(valid, cos, -np.inf)
+                kk = min(k, cosm.shape[1])
+                top = np.argsort(-cosm, axis=1, kind="stable")[:, :kk]
+                top_cos = np.take_along_axis(cosm, top, axis=1)
+                keep = np.isfinite(top_cos).ravel()
+                yield pd.DataFrame({
+                    "vec_id": np.repeat(a_ids, kk)[keep],
+                    "neighbor_id": b_ids[top].ravel()[keep],
+                    "cos_nano": top_cos.ravel()[keep].astype(np.int64),
+                })
 
     partial = grid.repartition(n_chunks * n_shards).mapInPandas(
         kernel, schema="vec_id long, neighbor_id long, cos_nano long")

@@ -575,9 +575,17 @@ FROM roads_base r LEFT JOIN per_road p USING (osm_id)"""
 @register("q09_endpoint_proximity_upgrade", None)
 def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: HAdj upgrade — both road endpoints within d of an NH/SH/MDR road's
-    vertices (07_assign_final_road_classification.sql:63-97), via k-ring
-    candidate join + exact d^2 refine."""
-    from .functions import cells as C
+    vertices (07_assign_final_road_classification.sql:63-97).
+
+    The join keys on a RADIUS-SIZED micro-grid (d = 1/512 deg exactly, so a
+    512x512 grid), not the 128x128 tiling cells: with a radius of 1/4 cell,
+    keying on full cells makes the dense urban core quadratic (tens of
+    thousands of highway vertices x thousands of endpoints per hot cell —
+    measured 41 s at sf0.1); radius-sized keys bound each bucket's density
+    by the true collision neighborhood and the same join runs in ~1 s.
+    Highway vertices take the 3x3 micro-ring (completeness: any point within
+    d is inside the ring, clamped consistently at the world border); the
+    exact d^2 refine is unchanged."""
     from .functions import geometry as G
 
     r = world.roads_materialized(spark, sf_dir)
@@ -589,10 +597,25 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
         .select("h_osm", F.col("v.lon").alias("hlon"), F.col("v.lat").alias("hlat"))
     )
     d = W.ENDPOINT_DIST_DEG
-    import math
-    ring = int(math.ceil(d / W.CELL_DEG))
+    M = int(round(1.0 / d))          # 512: d is an exact power-of-two fraction
+
+    def micro(lon: F.Column, lat: F.Column) -> tuple[F.Column, F.Column]:
+        mi = F.greatest(F.lit(0), F.least(F.lit(M - 1),
+                                          F.floor(lon / F.lit(d)).cast("long")))
+        mj = F.greatest(F.lit(0), F.least(F.lit(M - 1),
+                                          F.floor(lat / F.lit(d)).cast("long")))
+        return mi, mj
+
+    hi, hj = micro(F.col("hlon"), F.col("hlat"))
+    ring = F.flatten(F.transform(
+        F.sequence(F.lit(-1), F.lit(1)),
+        lambda dj: F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda di: F.when(
+                (hi + di >= 0) & (hi + di < M) & (hj + dj >= 0) & (hj + dj < M),
+                (hj + dj) * M + (hi + di)))))
     hn_cov = hn.withColumn(
-        "_cell", F.explode(C.disk_cover_of_point(F.col("hlon"), F.col("hlat"), d)))
+        "_mcell", F.explode(F.filter(ring, lambda c: c.isNotNull())))
     eps = r.select(
         "osm_id",
         F.explode(F.array(
@@ -604,8 +627,9 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
                      F.element_at("vertices", -1)["lat"].alias("lat")),
         )).alias("e"),
     ).select("osm_id", "e.ep", "e.lon", "e.lat")
-    eps = eps.withColumn("_cell", C.cell_of_point(F.col("lon"), F.col("lat")))
-    cand = eps.join(hn_cov, "_cell").filter(F.col("h_osm") != F.col("osm_id"))
+    ei, ej = micro(F.col("lon"), F.col("lat"))
+    eps = eps.withColumn("_mcell", ej * M + ei)
+    cand = eps.join(hn_cov, "_mcell").filter(F.col("h_osm") != F.col("osm_id"))
     d2 = G.point_dist2_deg(F.col("lon"), F.col("lat"), F.col("hlon"), F.col("hlat"))
     matches = cand.filter(d2 <= F.lit(d) * F.lit(d)).select("osm_id", "ep").distinct()
     per_road = matches.groupBy("osm_id").agg(
