@@ -86,11 +86,60 @@ def main() -> None:
 
     add("q05 kNN (k-ring escalation)",
         "Ring-2 candidates -> window top-k -> completeness bound -> ring-8 "
-        "escalation -> brute residue.  All joins cell-equi; broadcast by "
-        "size at these cardinalities.",
+        "escalation -> exhaustive final ring (still a cell equi-join, no "
+        "cartesian).  All joins cell-equi; broadcast by size at these "
+        "cardinalities.",
         knn.knn_join(world.query_points(spark, SF),
                      world.way_nodes(spark, SF, r)
                      .select(F.col("node_id"), "lon", "lat").distinct(), 3))
+
+    from osm_processing_pipeline_spark import registry
+    from osm_processing_pipeline_spark.operators import similarity, zonal
+
+    add("q09 endpoint proximity (radius-sized micro-grid)",
+        "The join keys on a 512x512 micro-grid sized to the 1/512-deg "
+        "radius: bucket density is bounded by the true collision "
+        "neighborhood, so the dense urban core cannot go quadratic the way "
+        "full-cell buckets do (measured 41 s -> ~9 s at sf0.1).",
+        registry.QUERIES["q09_endpoint_proximity_upgrade"](spark, SF))
+
+    add("q21 sharded-index brute-force top-k",
+        "No driver collect: both sides packed into dense blocks (groupBy-"
+        "collect_list), chunk x shard grid enumerated via broadcast join, "
+        "one BLAS GEMM per cell in an Arrow kernel, window re-rank over the "
+        "k*n_shards partials.  Data moved is O(N*chunks + N*shards) block "
+        "bytes, never O(N^2) pair rows.",
+        similarity.brute_force_topk(
+            spark.read.parquet(f"{SF}/embeddings.parquet"), 3))
+
+    add("q44 line-interpolated raster sampling",
+        "Cumulative segment lengths and the per-sample segment locate are "
+        "pure array expressions (no shuffle before the tile gather); the "
+        "raster gather is a tile-id equi-join + Arrow pixel kernel.",
+        registry.QUERIES["q44_line_relief_sample"](spark, SF))
+
+    add("q45 buffered pixel histogram",
+        "Sample-window candidate pixels -> exact point-to-segment refine -> "
+        "distinct (road, pixel) -> one wide rollup; all membership math in "
+        "whole-stage codegen.",
+        zonal.buffer_class_histogram(s))
+
+    add("q47 DBSCAN (eps-ring + CC)",
+        "eps-neighborhood via k-ring candidates + exact center distance "
+        "(never a self cross-join); core filter; CC over the core graph; "
+        "border attach by min core-neighbor component.",
+        registry.QUERIES["q47_dbscan_clusters"](spark, SF))
+
+    sections.append(
+        "## q46 persona-v2 composite\n\n"
+        "Composes the plans above (q01 classification, q09 HAdj, q08 "
+        "curvature kernel, q28 degradation, q12 pressure at the q02 rep "
+        "cell, q03/q04-style scenery flags, q45 WorldCover fractions) into "
+        "one input-join tree of 10 uniform osm_id equi-joins, then pure "
+        "Catalyst scoring expressions.  The two-pass normalization "
+        "materializes the scored table once via localCheckpoint; the bounds "
+        "aggregate and the final select both read that materialization, so "
+        "the heavy upstream tree executes exactly once per run.\n")
 
     hdr = (
         "# PLANS — executed physical-plan evidence\n\n"
