@@ -2964,3 +2964,170 @@ def q47_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q47_dbscan_clusters"] = _q47_sql()
+
+
+# --------------------------------------------------------------------- q48
+_CELL_UM = int(W.CELL_M * 1.0e6)   # exact: CELL_M = 869.6875 is 869 + 11/16
+
+
+def _q48_sql() -> str:
+    ppc = W.PX_PER_CELL
+    fl = oracle.fl
+    pdr = f"LEAST(pop_sum / {fl(W.POP_SAT_CELL)}, {fl(1.0)})"
+    bur = f"LEAST(built_sum / {fl(W.BUILT_SAT_CELL)}, {fl(1.0)})"
+    pressure = f"({fl(1.0)} - ({fl(1.0)} - {pdr}) * ({fl(1.0)} - {bur}))"
+    return f"""WITH RECURSIVE {_pixels_cte()},
+cellsums AS (
+  SELECT (py // {ppc}) * {W.NX} + (px // {ppc}) AS grid_id,
+         CAST(SUM(pop) AS BIGINT) AS pop_sum, CAST(SUM(built) AS BIGINT) AS built_sum
+  FROM pixvals GROUP BY 1
+),
+urban AS (SELECT grid_id FROM cellsums WHERE {pressure} >= {fl(W.PRESSURE_URBAN)}),
+edges AS (
+  SELECT a.grid_id AS a, b.grid_id AS b
+  FROM urban a JOIN urban b ON
+    (b.grid_id = a.grid_id - 1 AND a.grid_id % {W.NX} != 0) OR
+    (b.grid_id = a.grid_id + 1 AND a.grid_id % {W.NX} != {W.NX - 1}) OR
+    b.grid_id = a.grid_id - {W.NX} OR b.grid_id = a.grid_id + {W.NX}
+),
+reach(a, b) AS (
+  SELECT grid_id, grid_id FROM urban
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+),
+comp AS (SELECT a AS grid_id, MIN(b) AS component FROM reach GROUP BY a),
+ec AS (
+  SELECT c.component, COUNT(*) AS e_dir
+  FROM edges e JOIN comp c ON c.grid_id = e.a GROUP BY 1
+)
+SELECT c.component,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(4 * COUNT(*) - COALESCE(MIN(ec.e_dir), 0) AS BIGINT) AS perimeter_edges,
+       CAST((4 * COUNT(*) - COALESCE(MIN(ec.e_dir), 0)) * {_CELL_UM} AS BIGINT)
+         AS perimeter_um
+FROM comp c LEFT JOIN ec ON ec.component = c.component
+GROUP BY c.component"""
+
+
+@register("q48_dissolve_boundary", None)
+def q48_dissolve_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_UnaryUnion fidelity: EXACT boundary metrics of each dissolved
+    urban-cluster polygon (01_clusters_opt1_test.sql:59-99).  The union of
+    axis-aligned cells is a rectilinear polygon whose boundary length is
+    exactly (4n - shared_edges) cell edges — every cell edge not shared
+    inside the component, which counts outer boundary AND holes correctly —
+    so the dissolve is measured exactly with no geometry library."""
+    from .operators import clusters, zonal
+    from .sources.raster import raster_tiles
+
+    press = zonal.urban_pressure(zonal.zonal_cell_sums(raster_tiles(spark)))
+    urban = press.filter(F.col("pressure_class") == "urban").select("grid_id")
+    comp = clusters.connected_components(urban)
+    edges = clusters.cell_neighbors(urban)
+    ec = (edges.join(comp, "grid_id")
+          .groupBy("component").agg(F.count("*").alias("e_dir")))
+    per = comp.groupBy("component").agg(F.count("*").alias("n_cells"))
+    out = per.join(ec, "component", "left")
+    peri = 4 * F.col("n_cells") - F.coalesce(F.col("e_dir"), F.lit(0))
+    return out.select(
+        "component",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        peri.cast("long").alias("perimeter_edges"),
+        (peri * _CELL_UM).cast("long").alias("perimeter_um"))
+
+
+ORACLES["q48_dissolve_boundary"] = _q48_sql()
+
+
+# --------------------------------------------------------------------- q49
+def _q49_sql() -> str:
+    def byte(i: int) -> str:
+        return (f"CAST(concat('0x', substr(md5(media_ref), {1 + 2 * i}, 2)) "
+                f"AS BIGINT)")
+
+    seed = (f"({byte(0)} + {byte(1)} * 256 + {byte(2)} * 65536 "
+            f"+ {byte(3)} * 16777216)")
+    return f"""{oracle.with_world('roads_base')},
+med AS (
+  SELECT 'way/' || CAST(osm_id AS VARCHAR) AS doc_id,
+         'img/' || CAST(osm_id AS VARCHAR) AS media_ref
+  FROM roads_base WHERE a % 5 = 0
+),
+seeded AS (SELECT doc_id, media_ref, {seed} AS seed FROM med),
+dims AS (
+  SELECT *, 8 + seed % 9 AS w, 8 + (seed // 16) % 9 AS h FROM seeded
+),
+px AS (
+  SELECT doc_id, media_ref, w, h,
+         SUM((((k * 2654435761 + seed) % 4294967296) // 256) % 256) AS px_sum
+  FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS k FROM dims)
+  GROUP BY doc_id, media_ref, w, h
+)
+SELECT doc_id, media_ref,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST((px_sum * 1000) // (w * h) AS BIGINT) AS mean_px_milli,
+       CAST(px_sum AS BIGINT) AS px_checksum
+FROM px"""
+
+
+@register("q49_media_features", None)
+def q49_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media pipeline as a GRADED row: encode road documents with
+    interleaved image spans -> parse -> fetch/synthesize binary payloads ->
+    Arrow-batched decode + feature extraction (width/height/mean/checksum).
+    The fake codec is deterministic (md5-seeded), so the DuckDB twin
+    recomputes the pixel stats in closed form without ever seeing the
+    binary — proving the media plumbing end-to-end (multimodal/media.py)."""
+    from .multimodal import media as M
+    from .sources import documents as D
+
+    r = world.roads_materialized(spark, sf_dir)
+    docs = D.parse_road_documents(D.encode_road_documents(r))
+    return M.image_features(M.media_table(docs.filter(F.col("has_image"))))
+
+
+ORACLES["q49_media_features"] = _q49_sql()
+
+
+# --------------------------------------------------------------------- q50
+_Q50_SINK_SEQ = iter(range(1, 1 << 20))
+
+
+def _q50_sql() -> str:
+    return """
+SELECT user_id, epoch_us(ts) AS first_ts_us, event_type AS first_event
+FROM (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_type) AS rn
+  FROM events
+) WHERE rn = 1"""
+
+
+@register("q50_streaming_first_seen", None)
+def q50_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful STREAMING operator as a graded row: first-seen dedup
+    via applyInPandasWithState over a bounded multi-file stream (one file
+    per micro-batch, state carried across batches; streaming/stateful.py).
+    The streamed result equals the batch min per key exactly, so it has a
+    full SQL oracle — the streaming==batch methodology made hash-checked."""
+    import os
+
+    from .datagen.world import CACHE_DIR
+    from .streaming import stateful
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = f"{CACHE_DIR}/{key}/events_stream.parquet"
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4, "user_id")
+         .write.mode("overwrite").parquet(d))
+    sink = "q50_sink_{}_{}".format(
+        "".join(c if c.isalnum() else "_" for c in key), next(_Q50_SINK_SEQ))
+    out = stateful.run_first_seen_available_now(spark, d, sink_table=sink)
+    return out.select("user_id",
+                      F.unix_micros("first_ts").alias("first_ts_us"),
+                      "first_event")
+
+
+ORACLES["q50_streaming_first_seen"] = _q50_sql()
