@@ -2744,6 +2744,11 @@ def q46_persona_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfl = P.spark_fl
     r = world.roads_materialized(spark, sf_dir)
+    # segments/way_nodes feed six branches; re-deriving the explode per
+    # branch is CHEAPER than materializing it once (measured: localCheckpoint
+    # of the exploded tables cost ~1.7x — the narrow fan-out from compact
+    # parquet recomputes faster than a serialize+reread, and checkpoint
+    # barriers break whole-stage fusion in every consumer)
     s = world.segments(spark, sf_dir, r)
     g = world.grids(spark)
     wn = world.way_nodes(spark, sf_dir, r)
