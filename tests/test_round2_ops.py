@@ -1,0 +1,74 @@
+"""Unit tests for round-2 operators: DBSCAN semantics, the hot-shingle
+df-filter, and line-interpolated sampling edge cases."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_processing_pipeline_spark import worldspec as W
+from osm_processing_pipeline_spark.operators import clusters, dedup, zonal
+
+
+def test_dbscan_core_border_noise(spark):
+    # horizontal 5-line at row 10 (cols 10..14): 3 cores + 2 border tips;
+    # isolated cell far away: noise (dropped); pair of cells: noise (no core)
+    line = [10 * W.NX + c for c in range(10, 15)]
+    pair = [50 * W.NX + 50, 50 * W.NX + 51]
+    iso = [100 * W.NX + 100]
+    cells = spark.createDataFrame(
+        [(g,) for g in line + pair + iso], "grid_id long")
+    out = clusters.dbscan(cells, W.DBSCAN_EPS_M, W.M_PER_DEG,
+                          W.DBSCAN_MINPTS).toPandas()
+    rows = {r.grid_id: (r.is_core, r.cluster) for r in out.itertuples()}
+    # noise dropped entirely
+    assert iso[0] not in rows and pair[0] not in rows and pair[1] not in rows
+    # line interior = core, tips = border; one cluster labeled min core id
+    lbl = min(line[1:4])
+    assert all(rows[g] == (True, lbl) for g in line[1:4])
+    assert rows[line[0]] == (False, lbl)
+    assert rows[line[4]] == (False, lbl)
+
+
+def test_eps_neighbors_matches_chebyshev1_at_1500m(spark):
+    # at eps=1500 m and ~870 m cells, the eps-disk is exactly the 8-ring:
+    # (2,0) offset is 1739 m (out), diagonal (1,1) is 1230 m (in)
+    ids = [64 * W.NX + 64, 64 * W.NX + 65, 65 * W.NX + 65, 64 * W.NX + 66]
+    cells = spark.createDataFrame([(g,) for g in ids], "grid_id long")
+    nbrs = clusters.eps_neighbors(cells, W.DBSCAN_EPS_M, W.M_PER_DEG)
+    got = {(r.grid_id, r.nbr) for r in nbrs.collect()}
+    assert (ids[0], ids[1]) in got and (ids[0], ids[2]) in got
+    assert (ids[0], ids[3]) not in got          # 2 cells apart: 1739 m > eps
+    assert (ids[1], ids[3]) in got
+
+
+def test_df_filter_drops_hot_keys(spark):
+    rows = [(f"d{i}", "hot") for i in range(5)] + [("d0", "rare"), ("d1", "rare")]
+    sets = spark.createDataFrame(rows, "doc_id string, shingle string")
+    kept = dedup.df_filter(sets, max_df=4).toPandas()
+    assert set(kept["shingle"]) == {"rare"} and len(kept) == 2
+    # pairs computed on the filtered sets: sizes are post-filter
+    pairs = dedup.jaccard_pairs(dedup.df_filter(sets, max_df=4)).toPandas()
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["jaccard_permille"] == 1000   # rare-only sets equal
+
+
+def test_line_samples_counts_and_midpoint(spark):
+    # a straight 2-vertex way of length ~1087 m -> 3 samples at t=1/6,3/6,5/6
+    verts = [{"seq": 0, "lon": 0.25, "lat": 0.25, "node_id": 1},
+             {"seq": 1, "lon": 0.25 + 10.0 / 1024.0, "lat": 0.25, "node_id": 2}]
+    roads = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [1], "vertices": [verts]}))
+    out = zonal.line_interpolated_samples(roads).toPandas().sort_values("gs")
+    assert list(out["n_samples"]) == [3, 3, 3]
+    mid = out.iloc[1]
+    assert abs(mid["lon"] - (0.25 + 5.0 / 1024.0)) < 1e-12
+    assert (out["lat"] == 0.25).all()
+
+
+def test_line_samples_zero_length_way(spark):
+    verts = [{"seq": 0, "lon": 0.5, "lat": 0.5, "node_id": 1},
+             {"seq": 1, "lon": 0.5, "lat": 0.5, "node_id": 2}]
+    roads = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [7], "vertices": [verts]}))
+    out = zonal.line_interpolated_samples(roads).toPandas()
+    assert len(out) == 1 and out.iloc[0]["n_samples"] == 1
+    assert out.iloc[0]["lon"] == 0.5 and out.iloc[0]["lat"] == 0.5
