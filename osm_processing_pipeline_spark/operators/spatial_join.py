@@ -119,6 +119,47 @@ def road_cells(segs: DataFrame) -> DataFrame:
     return cand.filter(hit).select("osm_id", "_cell").distinct()
 
 
+def roads_within_distance(segs: DataFrame, rcells: DataFrame,
+                          feature_pts: DataFrame, radius_deg: float,
+                          fx: str = "cx", fy: str = "cy") -> DataFrame:
+    """Distinct osm_ids with ANY feature within ``radius_deg`` — the
+    existence-only variant of ``distance_pairs_full_partial``.
+
+    When only the flag is needed, materializing (road, feature) pairs is a
+    skew bomb: one feature whose disk covers the dense urban core pairs with
+    every core road before the distinct.  Here the full-cover side first
+    collapses to the distinct CELL set (bounded by the grid size), which
+    semi-joins road-cell presence — no pair row ever exists; only boundary
+    cells run the exact per-segment refine."""
+    cov = feature_pts.withColumn(
+        "_cell", F.explode(cells.disk_cover_of_point(F.col(fx), F.col(fy),
+                                                     radius_deg)))
+    x0, y0, x1, y1 = cells.cell_bounds(F.col("_cell"))
+    far_x = F.greatest(F.abs(F.col(fx) - x0), F.abs(F.col(fx) - x1))
+    far_y = F.greatest(F.abs(F.col(fy) - y0), F.abs(F.col(fy) - y1))
+    far2 = far_x * far_x + far_y * far_y
+    nx = F.greatest(x0, F.least(x1, F.col(fx)))
+    ny = F.greatest(y0, F.least(y1, F.col(fy)))
+    near2 = (F.col(fx) - nx) * (F.col(fx) - nx) \
+        + (F.col(fy) - ny) * (F.col(fy) - ny)
+    r2 = F.lit(radius_deg) * F.lit(radius_deg)
+    cov = cov.filter(near2 <= r2).withColumn("_full", far2 <= r2)
+
+    full_cells = cov.filter(F.col("_full")).select("_cell").distinct()
+    full_roads = rcells.join(full_cells, "_cell", "left_semi") \
+                       .select("osm_id")
+    part = cov.filter(~F.col("_full")).select("_cell", "feature_id", fx, fy)
+    scov = segs.withColumn(
+        "_cell", F.explode(cells.segment_cover(F.col("ax"), F.col("ay"),
+                                               F.col("bx"), F.col("by"))))
+    d2 = G.seg_point_dist2_deg(F.col("ax"), F.col("ay"), F.col("bx"),
+                               F.col("by"), F.col(fx), F.col(fy))
+    refined = (scov.join(part, "_cell")
+               .filter(d2 <= r2)
+               .select("osm_id"))
+    return full_roads.unionByName(refined).distinct()
+
+
 def distance_pairs_full_partial(segs: DataFrame, rcells: DataFrame,
                                 feature_pts: DataFrame, radius_deg: float,
                                 fx: str = "cx", fy: str = "cy") -> DataFrame:

@@ -244,7 +244,16 @@ def q04_distance_join_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
         return j.groupBy("osm_id").agg(F.count("*").alias("n"))
 
     hills = flag("hills_nodes", W.DIST_HILL_DEG)
-    passes = flag("mountain_pass", W.DIST_PASS_DEG, W.PASS_RARITY).withColumnRenamed("n", "np")
+    # near_pass is existence-only in the output, so the big-radius pass disk
+    # (0.09 deg ~ 12 cells) takes the cell-set semi-join path — one feature
+    # covering the urban core must NOT materialize a pair per core road
+    ppts = (feats.filter((F.col("layer") == "mountain_pass")
+                         & (F.col("feature_id") % W.PASS_RARITY
+                            == W.PASS_RESIDUE))
+            .select("feature_id", "cx", "cy"))
+    passes = (spatial_join.roads_within_distance(s, rcells, ppts,
+                                                 W.DIST_PASS_DEG)
+              .withColumn("_pass", F.lit(1)))
     return (
         r.select("osm_id")
         .join(hills, "osm_id", "left")
@@ -252,7 +261,7 @@ def q04_distance_join_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "osm_id",
             F.col("n").isNotNull().alias("near_hill"),
-            F.col("np").isNotNull().alias("near_pass"),
+            F.col("_pass").isNotNull().alias("near_pass"),
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hills"),
         )
     )
@@ -2782,8 +2791,8 @@ def q46_persona_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dist_flag(layer: str, dist: float, mark: str) -> DataFrame:
         pts = feats.filter(F.col("layer") == layer) \
                    .select("feature_id", "cx", "cy")
-        return (spatial_join.distance_pairs_full_partial(s, rcells, pts, dist)
-                .select("osm_id").distinct().withColumn(mark, F.lit(1)))
+        return (spatial_join.roads_within_distance(s, rcells, pts, dist)
+                .withColumn(mark, F.lit(1)))
 
     hills = dist_flag("hills_nodes", W.DIST_HILL_DEG, "_hill")
     rivers = dist_flag("rivers", W.DIST_RIVER_DEG, "_river")
