@@ -594,7 +594,13 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
     by the true collision neighborhood and the same join runs in ~1 s.
     Highway vertices take the 3x3 micro-ring (completeness: any point within
     d is inside the ring, clamped consistently at the world border); the
-    exact d^2 refine is unchanged."""
+    exact d^2 refine is unchanged.
+
+    The highway side is further deduped to DISTINCT POSITIONS carrying two
+    owner witnesses (min/max h_osm): coordinates are quantized (1/2048), so
+    the urban core piles ~17 coincident vertices per position — the dedup
+    shrinks the join fan-out by that factor, and "some owner != this road"
+    is exactly (min_h != osm OR max_h != osm)."""
     from .functions import geometry as G
 
     r = world.roads_materialized(spark, sf_dir)
@@ -604,6 +610,8 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
                  & (up.contains("NH") | up.contains("SH") | up.contains("MDR")))
         .select(F.col("osm_id").alias("h_osm"), F.explode("vertices").alias("v"))
         .select("h_osm", F.col("v.lon").alias("hlon"), F.col("v.lat").alias("hlat"))
+        .groupBy("hlon", "hlat")
+        .agg(F.min("h_osm").alias("hmin"), F.max("h_osm").alias("hmax"))
     )
     d = W.ENDPOINT_DIST_DEG
     M = int(round(1.0 / d))          # 512: d is an exact power-of-two fraction
@@ -638,7 +646,8 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("osm_id", "e.ep", "e.lon", "e.lat")
     ei, ej = micro(F.col("lon"), F.col("lat"))
     eps = eps.withColumn("_mcell", ej * M + ei)
-    cand = eps.join(hn_cov, "_mcell").filter(F.col("h_osm") != F.col("osm_id"))
+    cand = eps.join(hn_cov, "_mcell").filter(
+        (F.col("hmin") != F.col("osm_id")) | (F.col("hmax") != F.col("osm_id")))
     d2 = G.point_dist2_deg(F.col("lon"), F.col("lat"), F.col("hlon"), F.col("hlat"))
     matches = cand.filter(d2 <= F.lit(d) * F.lit(d)).select("osm_id", "ep").distinct()
     per_road = matches.groupBy("osm_id").agg(
