@@ -157,9 +157,10 @@ def buffer_class_histogram(segs: DataFrame) -> DataFrame:
     raster.
 
     Membership is exact: a pixel counts iff its center is within WC_BUF_PX
-    pixels (Euclidean) of some segment of the road.  Candidates are 6x6
+    pixels (Euclidean) of some segment of the road.  Candidates are 5x5
     pixel windows around along-line samples spaced WC_SAMPLE_STEP_PX apart
-    (a guaranteed cover of the buffer), refined with the exact
+    (a guaranteed cover: a center within BUF + step/2 = 2 px of the sample
+    has index in [c-2, c+2] for c = floor(sx*n)), refined with the exact
     point-to-segment distance, then deduped per (road, pixel).  Everything
     is whole-stage-codegen Catalyst arithmetic; the only shuffle is the
     distinct + final per-road rollup."""
@@ -182,9 +183,9 @@ def buffer_class_histogram(segs: DataFrame) -> DataFrame:
     cy = F.floor(sy * L(float(n))).cast("long")
     s = s.select("osm_id", "ax", "ay", "bx", "by",
                  cx.alias("cx"), cy.alias("cy"))
-    s = (s.withColumn("px", F.explode(F.sequence(F.col("cx") - 3,
+    s = (s.withColumn("px", F.explode(F.sequence(F.col("cx") - 2,
                                                  F.col("cx") + 2)))
-         .withColumn("py", F.explode(F.sequence(F.col("cy") - 3,
+         .withColumn("py", F.explode(F.sequence(F.col("cy") - 2,
                                                 F.col("cy") + 2)))
          .filter((F.col("px") >= 0) & (F.col("px") < n)
                  & (F.col("py") >= 0) & (F.col("py") < n)))

@@ -2339,8 +2339,8 @@ cand AS (
          (CAST(cx + di AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcx,
          (CAST(cy + dj AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcy
   FROM pts,
-       (SELECT unnest(generate_series(-3, 2)) AS di),
-       (SELECT unnest(generate_series(-3, 2)) AS dj)
+       (SELECT unnest(generate_series(-2, 2)) AS di),
+       (SELECT unnest(generate_series(-2, 2)) AS dj)
   WHERE cx + di >= 0 AND cx + di < {n} AND cy + dj >= 0 AND cy + dj < {n}
 ),
 pix AS (
@@ -2661,8 +2661,8 @@ wc_cand AS (
          (CAST(cx + di AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcx,
          (CAST(cy + dj AS DOUBLE) + 0.5e0) / {fl(float(n))} AS pcy
   FROM wc_pts,
-       (SELECT unnest(generate_series(-3, 2)) AS di),
-       (SELECT unnest(generate_series(-3, 2)) AS dj)
+       (SELECT unnest(generate_series(-2, 2)) AS di),
+       (SELECT unnest(generate_series(-2, 2)) AS dj)
   WHERE cx + di >= 0 AND cx + di < {n} AND cy + dj >= 0 AND cy + dj < {n}
 ),
 wc_pix AS (

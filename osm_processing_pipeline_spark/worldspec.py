@@ -255,7 +255,7 @@ WC_MUL_Y = 29
 # Buffer pixel histogram (sql/road_scenery_v2/02_worldcover_sampling.sql:5-46
 # — ST_Buffer(road, 25m) + ST_Clip + ST_ValueCount): a pixel belongs to a
 # road's buffer iff its CENTER is within BUF_PX pixels (Euclidean) of some
-# segment.  Candidates come from 6x6 windows around along-line samples spaced
+# segment.  Candidates come from 5x5 windows around along-line samples spaced
 # SAMPLE_STEP_PX apart (any in-buffer pixel center is within BUF + step/2 =
 # 2 px of a sample, so the window is a guaranteed cover); the exact
 # point-to-segment refine decides membership.  Class mapping mirrors the
