@@ -3154,3 +3154,96 @@ def q50_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q50_streaming_first_seen"] = _q50_sql()
+
+
+# --------------------------------------------------------------------- q51
+def _q51_sql() -> str:
+    hw = " ".join(f"WHEN '{h}' THEN {v}" for h, v in W.PERSONA_HW_PTS.items())
+    paved = ", ".join(f"'{s}'" for s in W.PAVED)
+    bik = ", ".join(f"'{h}'" for h in W.BIKABLE)
+    score = (f"CASE highway {hw} ELSE 0 END "
+             f"+ CASE WHEN surface IN ({paved}) THEN {W.PERSONA_PAVED_PTS} ELSE 0 END "
+             f"+ CASE WHEN oneway IS NOT NULL THEN {W.PERSONA_ONEWAY_PTS} ELSE 0 END "
+             f"+ CASE WHEN highway IN ({bik}) THEN {W.PERSONA_BIKABLE_PTS} ELSE 0 END "
+             f"+ ({_sql_parse_lanes()}) * {W.PERSONA_LANE_PTS}")
+    lenm = og.seg_len_m()
+    hist = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN LEAST(9, norm_bp // 1000) = {b} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS h{b}" for b in range(10))
+    return f"""{oracle.with_world('segs')},
+scored AS (
+  SELECT osm_id, highway, CAST({score} AS BIGINT) AS base_score
+  FROM roads_base
+),
+b AS (SELECT MIN(base_score) AS mn, MAX(base_score) AS mx FROM scored),
+norm AS (
+  SELECT osm_id, highway,
+         CAST(CASE WHEN mx > mn THEN ((base_score - mn) * 10000) // (mx - mn)
+              ELSE 0 END AS BIGINT) AS norm_bp
+  FROM scored, b
+),
+lens AS (
+  SELECT osm_id, CAST(SUM({og.quantize_um(lenm)}) // 1000 AS BIGINT) AS len_mm
+  FROM segs GROUP BY osm_id
+),
+j AS (
+  SELECT n.highway, n.osm_id, n.norm_bp, COALESCE(l.len_mm, 0) AS len_mm
+  FROM norm n LEFT JOIN lens l USING (osm_id)
+),
+cum AS (
+  SELECT *,
+         CAST(SUM(len_mm) OVER (PARTITION BY highway ORDER BY norm_bp, osm_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_mm,
+         CAST(SUM(len_mm) OVER (PARTITION BY highway) AS BIGINT) AS tot_mm
+  FROM j
+)
+SELECT highway,
+       CAST(COUNT(*) AS BIGINT) AS n_roads,
+       CAST(MIN(tot_mm) AS BIGINT) AS total_len_mm,
+       CAST((SUM(norm_bp * len_mm) * 1000) // GREATEST(MIN(tot_mm), 1)
+            AS BIGINT) AS wmean_milli_bp,
+       CAST(MIN(CASE WHEN cum_mm * 2 >= tot_mm THEN norm_bp END) AS BIGINT)
+         AS wp50_bp,
+       {hist}
+FROM cum GROUP BY highway"""
+
+
+@register("q51_analysis_summary", None)
+def q51_analysis_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 analysis sink (Analysis/persona_v2_analysis.py:190-318): per
+    highway class, LENGTH-WEIGHTED summary of the normalized persona score —
+    weighted mean, weighted median (exact integer cumulative-weight rule:
+    first score where 2*cum >= total), and a 10-bin histogram.  All stats
+    are exact integer arithmetic (weights in int64 millimetres), so the CSV
+    the reference's pandas tooling would emit is reproduced bit-for-bit."""
+    from pyspark.sql import Window
+
+    from .operators import scoring
+
+    r = world.roads_materialized(spark, sf_dir)
+    s = world.segments(spark, sf_dir, r)
+    norm = scoring.persona_scores(r).select("osm_id", "highway", "norm_bp")
+    lens = scoring._way_lengths(s).select(
+        "osm_id", F.expr("total_len_um div 1000").alias("len_mm"))
+    j = norm.join(lens, "osm_id", "left") \
+            .withColumn("len_mm", F.coalesce("len_mm", F.lit(0)))
+    wcum = Window.partitionBy("highway").orderBy("norm_bp", "osm_id") \
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("highway")
+    c = (j.withColumn("cum_mm", F.sum("len_mm").over(wcum).cast("long"))
+         .withColumn("tot_mm", F.sum("len_mm").over(wtot).cast("long")))
+    hist = [F.sum(F.when(F.least(F.lit(9), F.expr("norm_bp div 1000"))
+                         == b, 1).otherwise(0)).cast("long").alias(f"h{b}")
+            for b in range(10)]
+    return (c.groupBy("highway").agg(
+        F.count("*").cast("long").alias("n_roads"),
+        F.min("tot_mm").cast("long").alias("total_len_mm"),
+        F.expr("(sum(norm_bp * len_mm) * 1000) div greatest(min(tot_mm), 1)")
+        .cast("long").alias("wmean_milli_bp"),
+        F.min(F.when(F.col("cum_mm") * 2 >= F.col("tot_mm"),
+                     F.col("norm_bp"))).cast("long").alias("wp50_bp"),
+        *hist))
+
+
+ORACLES["q51_analysis_summary"] = _q51_sql()

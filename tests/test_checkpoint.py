@@ -66,3 +66,27 @@ def test_checkpoint_resume_and_invalidate(spark):
     assert all({"stage", "range_id", "output_rows", "wall_s", "lineage"}
                <= set(m) for m in man)
     shutil.rmtree(OUT, ignore_errors=True)
+
+
+def test_load_stage_ignores_stale_ranges_of_shrunk_layout(spark):
+    """A re-run under a new lineage with FEWER ranges must not silently read
+    the old layout's leftover range=N directories back in."""
+    shutil.rmtree(OUT, ignore_errors=True)
+    wide = CP.make_ranges(0, NX * NY, 8)
+    lin_a = CP.lineage_hash("pieces", [SF_SMOKE], version="A")
+    CP.run_stage(spark, "pieces", _pieces_fn(spark), "grid_id",
+                 wide, OUT, lin_a)
+    total = CP.load_stage(spark, OUT, "pieces", lin_a).count()
+
+    # new lineage, 2 ranges covering only the first half of the key space:
+    # ranges 2..7 from layout A stay on disk but must NOT be read
+    narrow = CP.make_ranges(0, (NX * NY) // 2, 2)
+    lin_b = CP.lineage_hash("pieces", [SF_SMOKE], version="B")
+    CP.run_stage(spark, "pieces", _pieces_fn(spark), "grid_id",
+                 narrow, OUT, lin_b)
+    got = CP.load_stage(spark, OUT, "pieces", lin_b)
+    assert got.count() < total
+    assert got.select(F.max("grid_id")).first()[0] < (NX * NY) // 2
+    # the bare glob (legacy) would have over-read — prove the stale dirs exist
+    assert CP.load_stage(spark, OUT).count() > got.count()
+    shutil.rmtree(OUT, ignore_errors=True)
