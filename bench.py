@@ -53,6 +53,7 @@ HEADLINE = [
     "q45_buffer_histogram",
     "q46_persona_v2",
     "q47_dbscan_clusters",
+    "q51_analysis_summary",
 ]
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
