@@ -3169,7 +3169,7 @@ def _q51_sql() -> str:
     lenm = og.seg_len_m()
     hist = ",\n       ".join(
         f"CAST(SUM(CASE WHEN LEAST(9, norm_bp // 1000) = {b} "
-        f"THEN 1 ELSE 0 END) AS BIGINT) AS h{b}" for b in range(10))
+        f"THEN n ELSE 0 END) AS BIGINT) AS h{b}" for b in range(10))
     return f"""{oracle.with_world('segs')},
 scored AS (
   SELECT osm_id, highway, CAST({score} AS BIGINT) AS base_score
@@ -3187,21 +3187,27 @@ lens AS (
   FROM segs GROUP BY osm_id
 ),
 j AS (
-  SELECT n.highway, n.osm_id, n.norm_bp, COALESCE(l.len_mm, 0) AS len_mm
+  SELECT n.highway, n.norm_bp, COALESCE(l.len_mm, 0) AS len_mm
   FROM norm n LEFT JOIN lens l USING (osm_id)
+),
+g AS (
+  SELECT highway, norm_bp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len_mm) AS BIGINT) AS w_mm
+  FROM j GROUP BY highway, norm_bp
 ),
 cum AS (
   SELECT *,
-         CAST(SUM(len_mm) OVER (PARTITION BY highway ORDER BY norm_bp, osm_id
+         CAST(SUM(w_mm) OVER (PARTITION BY highway ORDER BY norm_bp
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cum_mm,
-         CAST(SUM(len_mm) OVER (PARTITION BY highway) AS BIGINT) AS tot_mm
-  FROM j
+         CAST(SUM(w_mm) OVER (PARTITION BY highway) AS BIGINT) AS tot_mm
+  FROM g
 )
 SELECT highway,
-       CAST(COUNT(*) AS BIGINT) AS n_roads,
+       CAST(SUM(n) AS BIGINT) AS n_roads,
        CAST(MIN(tot_mm) AS BIGINT) AS total_len_mm,
-       CAST((SUM(norm_bp * len_mm) * 1000) // GREATEST(MIN(tot_mm), 1)
+       CAST((SUM(norm_bp * w_mm) * 1000) // GREATEST(MIN(tot_mm), 1)
             AS BIGINT) AS wmean_milli_bp,
        CAST(MIN(CASE WHEN cum_mm * 2 >= tot_mm THEN norm_bp END) AS BIGINT)
          AS wp50_bp,
@@ -3216,7 +3222,12 @@ def q51_analysis_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted mean, weighted median (exact integer cumulative-weight rule:
     first score where 2*cum >= total), and a 10-bin histogram.  All stats
     are exact integer arithmetic (weights in int64 millimetres), so the CSV
-    the reference's pandas tooling would emit is reproduced bit-for-bit."""
+    the reference's pandas tooling would emit is reproduced bit-for-bit.
+
+    Scale shape: the weighted median pre-aggregates to (highway, norm_bp) —
+    a BOUNDED key space (<= 10001 scores per class) — so the cumulative-sum
+    window runs over a tiny table instead of sorting every road in a class
+    through one reducer."""
     from pyspark.sql import Window
 
     from .operators import scoring
@@ -3228,18 +3239,21 @@ def q51_analysis_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "osm_id", F.expr("total_len_um div 1000").alias("len_mm"))
     j = norm.join(lens, "osm_id", "left") \
             .withColumn("len_mm", F.coalesce("len_mm", F.lit(0)))
-    wcum = Window.partitionBy("highway").orderBy("norm_bp", "osm_id") \
+    g = j.groupBy("highway", "norm_bp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("len_mm").cast("long").alias("w_mm"))
+    wcum = Window.partitionBy("highway").orderBy("norm_bp") \
                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wtot = Window.partitionBy("highway")
-    c = (j.withColumn("cum_mm", F.sum("len_mm").over(wcum).cast("long"))
-         .withColumn("tot_mm", F.sum("len_mm").over(wtot).cast("long")))
+    c = (g.withColumn("cum_mm", F.sum("w_mm").over(wcum).cast("long"))
+         .withColumn("tot_mm", F.sum("w_mm").over(wtot).cast("long")))
     hist = [F.sum(F.when(F.least(F.lit(9), F.expr("norm_bp div 1000"))
-                         == b, 1).otherwise(0)).cast("long").alias(f"h{b}")
-            for b in range(10)]
+                         == b, F.col("n")).otherwise(0)).cast("long")
+            .alias(f"h{b}") for b in range(10)]
     return (c.groupBy("highway").agg(
-        F.count("*").cast("long").alias("n_roads"),
+        F.sum("n").cast("long").alias("n_roads"),
         F.min("tot_mm").cast("long").alias("total_len_mm"),
-        F.expr("(sum(norm_bp * len_mm) * 1000) div greatest(min(tot_mm), 1)")
+        F.expr("(sum(norm_bp * w_mm) * 1000) div greatest(min(tot_mm), 1)")
         .cast("long").alias("wmean_milli_bp"),
         F.min(F.when(F.col("cum_mm") * 2 >= F.col("tot_mm"),
                      F.col("norm_bp"))).cast("long").alias("wp50_bp"),
