@@ -1260,7 +1260,10 @@ FROM ranked WHERE rank <= 10"""
 @register("q24_top_customers", None)
 def q24_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by revenue across a 3-way join (broadcast dims, deterministic
-    tie-break)."""
+    tie-break).  The top-10 is taken with orderBy().limit() — Spark's
+    TakeOrderedAndProject computes partial top-k per partition and merges
+    (no global sort, no single-reducer window); rank is then assigned over
+    just those 10 rows."""
     from pyspark.sql import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1275,15 +1278,15 @@ def q24_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
+    top = (rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+           .orderBy(F.col("revenue_centi").desc(), F.col("c_custkey").asc())
+           .limit(10))
     w = Window.orderBy(F.col("revenue_centi").desc(), F.col("c_custkey").asc())
-    return (
-        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(F.col("rank").cast("long").alias("rank"), "c_custkey", "c_name",
-                F.col("revenue_centi").cast("long").alias("revenue_centi"),
-                F.col("n_orders").cast("long").alias("n_orders"))
-    )
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "c_custkey", "c_name",
+        F.col("revenue_centi").cast("long").alias("revenue_centi"),
+        F.col("n_orders").cast("long").alias("n_orders"))
 
 
 # --------------------------------------------------------------------- q25
@@ -1690,7 +1693,13 @@ FROM ranked GROUP BY highway"""
 @register("q33_length_percentiles", None)
 def q33_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/A9: per-class discrete percentiles (rank-based, exact) — the
-    validation-pack summary stats (99_validation.sql:20-28)."""
+    validation-pack summary stats (99_validation.sql:20-28).
+
+    Scale note: EXACT per-class percentiles need a total order within the
+    class (one sorted reducer per highway; classes spread the work).  At
+    10^12 rows the swap is percentile_approx or a length-quantized
+    pre-aggregation (q51's bounded-key cumsum shape); exactness is what the
+    validation pack is for, so the exact variant stays the graded one."""
     from pyspark.sql import Window
 
     from .functions import geometry as G
