@@ -1474,7 +1474,8 @@ per_way AS (
 totals AS (
   SELECT osm_id, SUM({og.quantize_um(lenm)}) AS total_len_um FROM segs GROUP BY osm_id
 )
-SELECT p.osm_id, CAST(n_int AS BIGINT) AS n_int, max_red_ppm, sum_red_ppm,
+SELECT p.osm_id, CAST(n_int AS BIGINT) AS n_int, max_red_ppm,
+       CAST(sum_red_ppm AS BIGINT) AS sum_red_ppm,
        CAST(total_len_um AS BIGINT) AS total_len_um,
        CAST(CASE WHEN total_len_um >= {W.DEGRADE_LEN_UM} THEN sum_red_ppm // n_int
             ELSE CAST(round(({fl(1.0)} - list_reduce(omr, (a, b) -> a * b))

@@ -23,6 +23,20 @@ def assert_frames_exact(sp: pd.DataFrame, du: pd.DataFrame, name: str = "") -> N
     a, b = canon(sp), canon(du)
     for c in a.columns:
         av, bv = a[c].values, b[c].values
+        # The driver's value hash is dtype-sensitive: an int64 column on one
+        # side and float64 on the other fails even when every value matches
+        # (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64).  Gate on dtype KIND
+        # before comparing values so the local harness catches what the
+        # driver catches.
+        ak = "f" if av.dtype.kind == "f" else (
+            "b" if av.dtype.kind == "b" else (
+                "i" if av.dtype.kind in "iu" else "O"))
+        bk = "f" if bv.dtype.kind == "f" else (
+            "b" if bv.dtype.kind == "b" else (
+                "i" if bv.dtype.kind in "iu" else "O"))
+        assert ak == bk, (
+            f"{name}.{c}: dtype-kind mismatch spark={av.dtype} vs "
+            f"oracle={bv.dtype} (driver hash is type-sensitive)")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = np.asarray(av, dtype=np.float64)
             bv = np.asarray(bv, dtype=np.float64)
