@@ -58,9 +58,11 @@ def brute_force_topk(embeddings: DataFrame, k: int,
     Both sides of the N x N product are packed into dense blocks: the probe
     side into ``n_chunks`` row-chunks, the index side into ``n_shards``
     column-shards (plain groupBy-collect_list — each block is one row holding
-    a small dense matrix).  The chunk x shard grid is enumerated with a
-    broadcast nested-loop join (the shard table is tiny: n_shards rows), and
-    an Arrow kernel runs ONE BLAS matmul per grid cell, emitting only each
+    a small dense matrix).  The chunk x shard grid is enumerated by exploding
+    each probe chunk over the shard ids and SHUFFLE-joining on ``sh`` — no
+    executor ever holds more than the shard blocks hashed to it, and nothing
+    is broadcast (FAISS shards the index; it does not replicate it).  An
+    Arrow kernel runs ONE BLAS matmul per grid cell, emitting only each
     probe's per-shard top-k.  A final window re-rank over the k*n_shards
     partial candidates per probe recovers the exact global top-k.
 
@@ -84,7 +86,9 @@ def brute_force_topk(embeddings: DataFrame, k: int,
               .agg(packed).withColumnRenamed("items", "probe_items"))
     shards = (e.groupBy(F.pmod("vec_id", F.lit(n_shards)).alias("sh"))
               .agg(packed).withColumnRenamed("items", "index_items"))
-    grid = chunks.crossJoin(F.broadcast(shards))
+    shard_ids = F.array(*[F.lit(s).cast("long") for s in range(n_shards)])
+    grid = (chunks.select("probe_items", F.explode(shard_ids).alias("sh"))
+            .join(shards.hint("shuffle_hash"), "sh"))
 
     def _unpack(items):
         ids = np.asarray([d["vec_id"] for d in items], dtype=np.int64)
