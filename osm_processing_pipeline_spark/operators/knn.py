@@ -4,10 +4,14 @@ For each query point, candidates are gathered from the k-ring of the query's
 cell at increasing radii; a result set is *provably complete* when the k-th
 candidate distance is strictly below the ring guarantee bound R*CELL_DEG (any
 point outside Chebyshev cell-ring R is at least that far away).  Unsatisfied
-queries escalate; the FINAL ring radius is max(NX, NY), whose Chebyshev disk
-covers the entire world grid — so the last pass is complete by construction
-while remaining a cell equi-join over the (tiny) residue.  No cartesian
-product appears anywhere in the plan.
+queries escalate through a GEOMETRIC radius schedule (4x per level) past the
+caller's explicit rings, so a query that completes at radius r pays O(r^2)
+explode cells — never the O(world-cells) constant of jumping straight to the
+world-covering ring.  The FINAL level radius is max(NX, NY), whose Chebyshev
+disk covers the entire world grid — complete by construction while remaining
+a cell equi-join over the (by then empty-or-degenerate) residue.  The whole
+schedule is lazy plan structure: log(world-diameter) levels, no driver
+action anywhere, and no cartesian product anywhere in the plan.
 
 Mirrors the reference's nearest-grid sampling `ORDER BY ST_Distance LIMIT k`
 (sql/urban_pressure/99_validation_queries.sql:33-67) with deterministic
@@ -40,7 +44,17 @@ def knn_join(qpts: DataFrame, nodes: DataFrame, k: int,
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
 
-    for r in rings:
+    # Geometric escalation past the caller's schedule: 4x the radius per
+    # level until one more ring would cover the world anyway.  Each level
+    # only touches rows still unsatisfied at the previous level.
+    r_all = max(NX, NY)
+    schedule = list(rings)
+    nxt = (schedule[-1] if schedule else 1) * 4
+    while nxt < r_all:
+        schedule.append(nxt)
+        nxt *= 4
+
+    for r in schedule:
         cand = (
             remaining
             .withColumn("_cell", F.explode(
@@ -63,8 +77,9 @@ def knn_join(qpts: DataFrame, nodes: DataFrame, k: int,
     # in the world, so for the residue the candidate set IS all nodes — but
     # gathered through the same cell equi-join (ring cells outside the world
     # are dropped), never a crossJoin whose candidate side is the full node
-    # table.  Complete by construction; no sufficiency check needed.
-    r_all = max(NX, NY)
+    # table.  Complete by construction; no sufficiency check needed.  Rows
+    # only reach here if even the last geometric level (>= r_all/4) left
+    # them short of k in-bound neighbors.
     cand = (
         remaining
         .withColumn("_cell", F.explode(
