@@ -1622,10 +1622,35 @@ ORACLES["q31_avg_speed"] = _q31_sql()
 
 # --------------------------------------------------------------------- q32
 def _q32_sql() -> str:
+    """Tolerance-driven odd-parity deviation decimation, twin of
+    operators/tiles.py: per pass keep a vertex iff it is an endpoint,
+    even-indexed, or its exact point-to-segment deviation from its
+    neighbors' chord is >= the per-pass tolerance squared."""
     lenm = og.seg_len_m("px_lon", "px_lat", "lon", "lat")
     rt = _sql_road_type("v")
+    fl = oracle.fl
+    dev2 = og.seg_point_dist2("plon", "plat", "nlon", "nlat", "lon", "lat")
     parts = []
-    for zoom, t, stride in W.ZOOMS:
+    ctes = []
+    for zi, (zoom, t, tol, passes) in enumerate(W.ZOOMS):
+        tol2 = (tol / passes) * (tol / passes)
+        prev = "verts"
+        for p in range(passes):
+            win = f"(PARTITION BY osm_id ORDER BY k)"
+            ctes.append(f"""
+z{zi}p{p} AS (
+  SELECT osm_id, highway, ref, nv, k, lon, lat FROM (
+    SELECT osm_id, highway, ref, nv, k, lon, lat,
+           ROW_NUMBER() OVER {win} - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY osm_id) AS n,
+           LAG(lon) OVER {win} AS plon,
+           LAG(lat) OVER {win} AS plat,
+           LEAD(lon) OVER {win} AS nlon,
+           LEAD(lat) OVER {win} AS nlat
+    FROM {prev}
+  ) WHERE rn = 0 OR rn = n - 1 OR rn % 2 = 0 OR {dev2} >= {fl(tol2)}
+)""".strip())
+            prev = f"z{zi}p{p}"
         tx = f"GREATEST(0, LEAST({t - 1}, CAST(floor(rep_lon * {t}) AS BIGINT)))"
         ty = f"GREATEST(0, LEAST({t - 1}, CAST(floor(rep_lat * {t}) AS BIGINT)))"
         parts.append(f"""
@@ -1645,21 +1670,24 @@ FROM (
     SELECT *,
            LAG(lon) OVER (PARTITION BY osm_id ORDER BY k) AS px_lon,
            LAG(lat) OVER (PARTITION BY osm_id ORDER BY k) AS px_lat
-    FROM verts WHERE k % {stride} = 0 OR k = nv - 1
+    FROM {prev}
   ) v
   GROUP BY v.osm_id
 ) s
 JOIN (SELECT osm_id, lon AS rep_lon, lat AS rep_lat FROM verts WHERE k = nv // 2) r
   ON r.osm_id = s.osm_id""")
-    return (f"{oracle.with_world('verts')}\n"
+    return (f"{oracle.with_world('verts')},\n"
+            + ",\n".join(ctes) + "\n"
             + "\nUNION ALL\n".join(parts))
 
 
 @register("q32_vector_tiles", None)
 def q32_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7: per-zoom vector-tile materialization — tile assignment + endpoint-
-    preserving vertex decimation + simplified length
-    (vis_persona_v2_normalised_z10.sql:44-66)."""
+    """S7: per-zoom vector-tile materialization — tile assignment +
+    tolerance-driven deviation-bounded decimation (every dropped vertex lies
+    within tol_by_zoom of the simplified line, endpoints always kept) +
+    simplified length (vis_persona_v2_normalised_z10.sql:44-66;
+    ST_SimplifyPreserveTopology(geom, 0.0005) at :55)."""
     from .operators import tiles
 
     return tiles.vector_tiles(world.roads_materialized(spark, sf_dir))

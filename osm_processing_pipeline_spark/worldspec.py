@@ -271,11 +271,23 @@ WC_SAMPLE_STEP_PX = 2       # along-line candidate sample spacing, pixels
 DBSCAN_EPS_M = 1500.0
 DBSCAN_MINPTS = 3
 
-# Vector-tile materialization (sql/visualization/vis_*_z10.sql:44-66):
-# (zoom, tiles_per_axis, vertex-decimation stride).  Decimation keeps every
-# stride-th vertex plus the final vertex — the deterministic stand-in for
-# ST_SimplifyPreserveTopology at each zoom.
-ZOOMS = [(6, 16, 4), (10, 64, 2)]
+# Vector-tile materialization (sql/visualization/vis_persona_v2_normalised_
+# z10.sql:55 — ST_SimplifyPreserveTopology(geom, 0.0005)): per zoom,
+# (zoom, tiles_per_axis, total deviation tolerance in degrees, passes).
+# Simplification is tolerance-DRIVEN odd-parity decimation: each pass drops
+# an interior odd-indexed vertex iff its exact point-to-segment distance to
+# the chord of its two surviving neighbors is < tol/passes — so no two
+# consecutive vertices drop in a pass, every dropped vertex lies within
+# tol/passes of that pass's output line, and the total deviation of any
+# dropped vertex from the final line is < tol (the deviation bound
+# ST_SimplifyPreserveTopology guarantees), while endpoints are always kept
+# (topology at way ends survives).  Tolerances are exact binary fractions
+# scaled to this world's vertex jitter (interior chord deviations run
+# 0.001-0.004 deg; the reference's 0.0005 deg z10 tolerance is likewise a
+# small fraction of its typical vertex spacing), so the dist2 >= tol2
+# comparison is bit-identical in both engines and the decimation actually
+# discriminates: z6 drops most interior vertices, z10 only the straightest.
+ZOOMS = [(6, 16, 1.0 / 128.0, 2), (10, 64, 1.0 / 512.0, 1)]
 
 
 def grid_class_bounds() -> tuple[float, float, float, float]:
