@@ -52,6 +52,23 @@ def quantize_um(len_expr: str) -> str:
     return f"CAST(floor(({len_expr}) * {fl(W.LEN_Q)}) AS BIGINT)"
 
 
+def cos_lat(lat: str) -> str:
+    """Identical Taylor tree to geometry.cos_lat (no library trig)."""
+    x = f"(({fl(W.GEO_LAT0_DEG)} + {lat}) * {fl(W.RAD_PER_DEG)})"
+    x2 = f"({x} * {x})"
+    return (f"((({fl(1.0)} - {x2} / {fl(2.0)}) + ({x2} * {x2}) / {fl(24.0)}) "
+            f"- ({x2} * {x2}) * {x2} / {fl(720.0)})")
+
+
+def seg_len_geo_m(ax="ax", ay="ay", bx="bx", by="by") -> str:
+    """Identical tree to geometry.seg_len_geo_m."""
+    m = fl(W.M_PER_DEG)
+    midlat = f"(({ay} + {by}) * {fl(0.5)})"
+    dx = f"((({bx} - {ax}) * {m}) * {cos_lat(midlat)})"
+    dy = f"(({by} - {ay}) * {m})"
+    return f"sqrt({dx} * {dx} + {dy} * {dy})"
+
+
 def point_in_poly_crossing(px: str, py: str,
                            x1="x1", y1="y1", x2="x2", y2="y2") -> str:
     """Per-edge crossing term; SUM(...) % 2 = 1 over a polygon's edges gives

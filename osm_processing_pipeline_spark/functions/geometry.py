@@ -71,6 +71,33 @@ def seg_len_m(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
     return F.sqrt(dx * dx + dy * dy)
 
 
+def cos_lat(lat: Column) -> Column:
+    """cos of (GEO_LAT0_DEG + lat) degrees via a 6th-order Taylor polynomial —
+    NO library trig, so the value is the same correctly-rounded IEEE tree in
+    every engine (truncation error < 5e-10 over the world window, irrelevant:
+    exactness means engine-identical, not mathematically-exact).  This is the
+    first step toward the reference's geography/3857 CRS semantics
+    (06_handle_roads_with_geometry_collection.sql:21 computes lengths in
+    geography; 0.0005-deg x cos(lat) is the metric scale it implies)."""
+    from ..worldspec import GEO_LAT0_DEG, RAD_PER_DEG
+
+    x = (D(GEO_LAT0_DEG) + lat) * D(RAD_PER_DEG)
+    x2 = x * x
+    return ((D(1.0) - x2 / D(2.0)) + (x2 * x2) / D(24.0)) \
+        - ((x2 * x2) * x2 / D(720.0))
+
+
+def seg_len_geo_m(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
+    """Latitude-aware equirectangular segment length in metres: the
+    longitudinal span is scaled by cos(base latitude + segment mid-latitude).
+    Same exactness treatment as seg_len_m — every operand in a fixed order,
+    both engines evaluate the identical expression tree."""
+    midlat = (ay + by) * D(0.5)
+    dx = ((bx - ax) * D(M_PER_DEG)) * cos_lat(midlat)
+    dy = (by - ay) * D(M_PER_DEG)
+    return F.sqrt(dx * dx + dy * dy)
+
+
 def quantize_len_um(len_m: Column) -> Column:
     """Quantize a length to int64 micrometres.  All length aggregation happens
     on these exact integers so sums are order-independent and engine-identical."""

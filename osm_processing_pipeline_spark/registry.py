@@ -3301,6 +3301,55 @@ def q51_analysis_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q51_analysis_summary"] = _q51_sql()
 
 
+# --------------------------------------------------------------------- q52
+def _q52_sql() -> str:
+    lenm = og.seg_len_m()
+    geom = og.seg_len_geo_m()
+    return f"""{oracle.with_world('segs')}
+SELECT osm_id, highway,
+       CAST(len_um AS BIGINT) AS len_um,
+       CAST(geo_len_um AS BIGINT) AS geo_len_um,
+       CAST((geo_len_um * 1000000) // GREATEST(len_um, 1) AS BIGINT) AS ratio_ppm
+FROM (
+  SELECT osm_id, ANY_VALUE(highway) AS highway,
+         SUM({og.quantize_um(lenm)}) AS len_um,
+         SUM({og.quantize_um(geom)}) AS geo_len_um
+  FROM segs GROUP BY osm_id
+)"""
+
+
+@register("q52_geodesic_length", None)
+def q52_geodesic_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latitude-aware (geography-mode) road lengths next to the planar
+    metric: the reference computes lengths via
+    ST_Length(geometry::geography)
+    (road_intersection_density/03_calculate_base_degradation_v2.sql:19,
+    visualization/vis_rsbikeaccess_z10.sql:44); the engine's geographic mode
+    scales the longitudinal span by cos(base+mid-latitude) via a shared
+    trig-free Taylor tree (functions/geometry.cos_lat), so both engines emit
+    the bit-identical metres.  Output per road: planar um, geodesic um, and
+    the integer ppm ratio — a single map-side aggregation, no extra shuffle
+    vs the planar-only query."""
+    from .functions import geometry as G
+
+    s = world.segments(spark, sf_dir)
+    planar = G.quantize_len_um(G.seg_len_m(
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")))
+    geo = G.quantize_len_um(G.seg_len_geo_m(
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")))
+    per = s.groupBy("osm_id").agg(
+        F.min("highway").alias("highway"),
+        F.sum(planar).cast("long").alias("len_um"),
+        F.sum(geo).cast("long").alias("geo_len_um"))
+    return per.select(
+        "osm_id", "highway", "len_um", "geo_len_um",
+        F.expr("geo_len_um * 1000000 div greatest(len_um, 1)")
+        .cast("long").alias("ratio_ppm"))
+
+
+ORACLES["q52_geodesic_length"] = _q52_sql()
+
+
 # ---------------------------------------------------------------- ordering
 # Driver-cap hedge.  CORRECTNESS_r01 recorded rows for all 41 queries that
 # existed then; CORRECTNESS_r02 recorded rows for exactly the FIRST 50 of 51

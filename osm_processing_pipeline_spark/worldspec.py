@@ -203,6 +203,15 @@ ENDPOINT_DIST_DEG = 0.001953125  # 4/2048 — HAdj 50m-equiv (07_assign...sql:63
 # aggregation so sums are exact and order-independent in both engines.
 LEN_Q = 1.0e6
 
+# Latitude-aware length mode (geometry.seg_len_geo_m): the world window
+# [0,1) deg is anchored at this base latitude (Bangalore-ish — the reference
+# processes India extracts), so cos(GEO_LAT0_DEG + lat) spans ~0.978..0.975
+# across the window — a real ~2.2% vs planar correction.  cos is a shared
+# trig-free Taylor polynomial (see geometry.cos_lat) so both engines get the
+# bit-identical value.
+GEO_LAT0_DEG = 12.0
+RAD_PER_DEG = 0.017453292519943295
+
 # ------------------------------------------- derived scoring (Parts 5/6)
 # Intersection speed degradation (sql/road_intersection_density/
 # 03_calculate_base_degradation_v2.sql:16-69, 04_calculate_final_*.sql:30-60):
