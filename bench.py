@@ -49,7 +49,7 @@ HEADLINE = [
     "q27_urban_clusters",
     "q28_intersection_degradation",
     "q32_vector_tiles",
-    "q44_line_relief_sample",
+    "q44_hill_composite",
     "q45_buffer_histogram",
     "q46_persona_v2",
     "q47_dbscan_clusters",

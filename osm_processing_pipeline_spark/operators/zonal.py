@@ -64,11 +64,15 @@ def zonal_cell_sums(tiles: DataFrame, partitions: int | None = None,
         kernel, schema="grid_id long, pop_sum long, built_sum long")
 
 
-def sample_points(tiles: DataFrame, pts: DataFrame) -> DataFrame:
-    """ST_Value(rast, point): pts(osm_id, lon, lat) -> (osm_id, pop_value).
-    Points are keyed to their tile (pure arithmetic), equi-joined to the tile
-    table (broadcast when small / co-partitioned by tile id at scale), pixels
-    gathered vectorized."""
+def sample_points(tiles: DataFrame, pts: DataFrame,
+                  with_built: bool = False) -> DataFrame:
+    """ST_Value(rast, point): pts(osm_id, lon, lat) -> (osm_id, pop_value
+    [, built_value]).  Points are keyed to their tile (pure arithmetic),
+    equi-joined to the tile table (broadcast when small / co-partitioned by
+    tile id at scale), pixels gathered vectorized.  ``with_built`` gathers
+    the second band in the same pass (the hill chain samples its DEM-relief
+    and slope rasters at the same points,
+    hill_v2/03_compute_slope_metrics.sql:20-57)."""
     px = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
                                       F.floor(F.col("lon") * W.RASTER_PX).cast("long")))
     py = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
@@ -78,7 +82,8 @@ def sample_points(tiles: DataFrame, pts: DataFrame) -> DataFrame:
         (F.floor(py / W.TILE_PX) * W.N_TILES + F.floor(px / W.TILE_PX))
         .cast("long").alias("tile_id"),
     )
-    joined = keyed.join(tiles.select("tile_id", "pop_data"), "tile_id")
+    bands = ["pop_data"] + (["built_data"] if with_built else [])
+    joined = keyed.join(tiles.select("tile_id", *bands), "tile_id")
 
     def kernel(batches):
         tp = W.TILE_PX
@@ -86,15 +91,21 @@ def sample_points(tiles: DataFrame, pts: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             pop = decode_band(pdf["pop_data"])
+            idx = np.arange(len(pdf))
             px_ = pdf["px"].to_numpy(np.int64) % tp
             py_ = pdf["py"].to_numpy(np.int64) % tp
-            vals = pop[np.arange(len(pdf)), py_, px_]
-            yield pd.DataFrame({
+            out = {
                 "osm_id": pdf["osm_id"].to_numpy(np.int64),
-                "pop_value": vals.astype(np.int64),
-            })
+                "pop_value": pop[idx, py_, px_].astype(np.int64),
+            }
+            if with_built:
+                built = decode_band(pdf["built_data"])
+                out["built_value"] = built[idx, py_, px_].astype(np.int64)
+            yield pd.DataFrame(out)
 
-    return joined.mapInPandas(kernel, schema="osm_id long, pop_value long")
+    schema = "osm_id long, pop_value long" + (
+        ", built_value long" if with_built else "")
+    return joined.mapInPandas(kernel, schema=schema)
 
 
 def line_interpolated_samples(roads: DataFrame) -> DataFrame:

@@ -2256,12 +2256,19 @@ ORACLES["q43_denylist"] = _q43_sql()
 def _q44_sql() -> str:
     S = W.RELIEF_SAMPLE_UM
     n, lo, hi = W.RASTER_PX, W.URBAN_PX_LO, W.URBAN_PX_HI
+    fl = oracle.fl
     frac = ("CASE WHEN c.len_um = 0 THEN 0.0e0 "
             "ELSE (l.target - CAST(c.cum_um - c.len_um AS DOUBLE)) "
             "/ CAST(c.len_um AS DOUBLE) END")
     pop = (f"(px*37 + py*73) % 100 + CASE WHEN px >= {lo} AND px < {hi} "
            f"AND py >= {lo} AND py < {hi} THEN {W.URBAN_POP_BOOST} ELSE 0 END")
-    return f"""{oracle.with_world('segs')},
+    built = "(px*91 + py*17) % 50"
+    inv = 1.0 / W.HILL_SMOOTH_DEG
+    r2 = W.HILL_SMOOTH_DEG * W.HILL_SMOOTH_DEG
+    semi = (f"(rep_lon >= {fl(W.SEMI_LO)} AND rep_lon < {fl(W.SEMI_HI)} "
+            f"AND rep_lat >= {fl(W.SEMI_LO)} AND rep_lat < {fl(W.SEMI_HI)})")
+    d2 = og.point_dist2("a.rep_lon", "a.rep_lat", "b.rep_lon", "b.rep_lat")
+    return f"""{oracle.with_world('verts', 'segs')},
 seglen AS (
   SELECT osm_id, seg_idx, {og.quantize_um(og.seg_len_m())} AS len_um FROM segs
 ),
@@ -2310,44 +2317,150 @@ vals AS (
          GREATEST(0, LEAST({n - 1}, CAST(floor(x * {n}) AS BIGINT))) AS px,
          GREATEST(0, LEAST({n - 1}, CAST(floor(y * {n}) AS BIGINT))) AS py
   FROM pts
+),
+relief AS (
+  SELECT osm_id,
+         CAST(total_um AS BIGINT) AS total_len_um,
+         CAST(n AS BIGINT) AS n_samples,
+         total_um >= {W.RELIEF_LONG_UM} AS is_long,
+         CAST(SUM({pop}) AS BIGINT) AS relief_sum,
+         CAST((SUM({pop}) * 1000000) // n AS BIGINT) AS relief_mean_micro,
+         CAST((SUM({built}) * 1000000) // n AS BIGINT) AS slope_mean_micro
+  FROM vals GROUP BY osm_id, total_um, n
+),
+reps AS (
+  SELECT osm_id, lon AS rep_lon, lat AS rep_lat FROM verts WHERE k = nv // 2
+),
+sig AS (
+  SELECT r.*, p.rep_lon, p.rep_lat,
+         NOT {semi} AS rural,
+         CASE WHEN NOT {semi}
+              THEN r.slope_mean_micro + r.relief_mean_micro // 20
+              ELSE 0 END AS signal_raw_micro
+  FROM relief r JOIN reps p USING (osm_id)
+),
+rural_pts AS (
+  SELECT osm_id, rep_lon, rep_lat, signal_raw_micro,
+         CAST(floor(rep_lon * {fl(inv)}) AS BIGINT) AS cx,
+         CAST(floor(rep_lat * {fl(inv)}) AS BIGINT) AS cy
+  FROM sig WHERE rural
+),
+nbrs AS (
+  SELECT a.osm_id,
+         CAST(SUM(b.signal_raw_micro) AS BIGINT) AS sig_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_nbrs
+  FROM (SELECT *, unnest([cx - 1, cx, cx + 1]) AS jx FROM rural_pts) a
+  JOIN rural_pts b ON b.cx = a.jx
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND {d2} <= {fl(r2)}
+  GROUP BY a.osm_id
 )
-SELECT osm_id,
-       CAST(total_um AS BIGINT) AS total_len_um,
-       CAST(n AS BIGINT) AS n_samples,
-       total_um >= {W.RELIEF_LONG_UM} AS is_long,
-       CAST(SUM({pop}) AS BIGINT) AS relief_sum,
-       CAST((SUM({pop}) * 1000000) // n AS BIGINT) AS relief_mean_micro
-FROM vals GROUP BY osm_id, total_um, n"""
+SELECT s.osm_id, s.total_len_um, s.n_samples, s.is_long, s.relief_sum,
+       s.relief_mean_micro, s.slope_mean_micro, s.rural,
+       CAST(s.signal_raw_micro AS BIGINT) AS signal_raw_micro,
+       CAST(COALESCE(m.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+       CAST(COALESCE(m.sig_sum // GREATEST(m.n_nbrs, 1), 0) AS BIGINT)
+         AS signal_smooth_micro,
+       s.rural AND COALESCE(m.sig_sum // GREATEST(m.n_nbrs, 1), 0)
+         > {W.HILL_SIGNAL_THRESHOLD_MICRO} AS is_hill
+FROM sig s LEFT JOIN nbrs m USING (osm_id)"""
 
 
-@register("q44_line_relief_sample", None)
-def q44_line_relief_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 upgrade: line-interpolated raster sampling — n = max(1,
-    ceil(len/interval)) points at t = (gs+0.5)/n along each way, gathered
-    from real binary tiles, mean relief per road
-    (hill_v2/03_compute_relief_from_raster.sql:17-56 incl. the short-way
-    single-sample branch)."""
+@register("q44_hill_composite", None)
+def q44_hill_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hill_v2 chain, composed and graded end-to-end (the persona-q46
+    treatment for scripts/dev-runs/hill_scenery_run.py):
+
+    1. J7+ line-interpolated raster sampling — n = max(1, ceil(len/interval))
+       points at t = (gs+0.5)/n along each way, relief (pop band) AND slope
+       (built band) gathered from real binary tiles in one pass
+       (hill_v2/03_compute_relief_from_raster.sql:17-56 incl. the short-way
+       single-sample branch; 03_compute_slope_metrics.sql:20-57).
+    2. hill_signal_raw = slope_mean + relief_mean/20 for rural roads
+       (05_compute_hill_signal.sql:5-9; the urban/semiurban gate is the
+       representative-vertex semi-window test).
+    3. 2 km road-neighborhood smoothing: average signal over rural roads
+       whose representative vertices are within HILL_SMOOTH_DEG — the
+       radius-sized micro-grid join standing in for the ST_DWithin road
+       self-join (05_compute_hill_signal.sql:15-33), including self.
+    4. hill classification: smoothed > threshold
+       (06_finalize_classification.sql:4-8, HILL_RELIEF_THRESHOLD scaled to
+       the world's integer-micro signal range).
+
+    All signal math is int64 micro-units; the smoothing join is rural-only
+    (the dense urban core is excluded BY THE SEMANTICS, so the micro-grid
+    join cannot go quadratic in the hotspot)."""
+    from .functions import geometry as G
     from .operators import zonal
     from .sources.raster import raster_tiles
 
     r = world.roads_materialized(spark, sf_dir)
     samples = zonal.line_interpolated_samples(r)
     vals = zonal.sample_points(
-        raster_tiles(spark), samples.select("osm_id", "lon", "lat"))
+        raster_tiles(spark), samples.select("osm_id", "lon", "lat"),
+        with_built=True)
     sums = vals.groupBy("osm_id").agg(
-        F.sum("pop_value").cast("long").alias("relief_sum"))
+        F.sum("pop_value").cast("long").alias("relief_sum"),
+        F.sum("built_value").cast("long").alias("slope_sum"))
     attrs = samples.groupBy("osm_id").agg(
         F.min("total_um").cast("long").alias("total_len_um"),
         F.min("n_samples").cast("long").alias("n_samples"))
-    return (attrs.join(sums, "osm_id")
-            .select("osm_id", "total_len_um", "n_samples",
-                    (F.col("total_len_um") >= W.RELIEF_LONG_UM).alias("is_long"),
-                    "relief_sum",
-                    F.expr("(relief_sum * 1000000) div n_samples")
-                    .cast("long").alias("relief_mean_micro")))
+    relief = (attrs.join(sums, "osm_id")
+              .select("osm_id", "total_len_um", "n_samples",
+                      (F.col("total_len_um") >= W.RELIEF_LONG_UM).alias("is_long"),
+                      "relief_sum",
+                      F.expr("(relief_sum * 1000000) div n_samples")
+                      .cast("long").alias("relief_mean_micro"),
+                      F.expr("(slope_sum * 1000000) div n_samples")
+                      .cast("long").alias("slope_mean_micro")))
+    mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
+    rep = F.element_at("vertices", mid)
+    reps = r.select("osm_id", rep["lon"].alias("rep_lon"),
+                    rep["lat"].alias("rep_lat"))
+    semi = ((F.col("rep_lon") >= W.SEMI_LO) & (F.col("rep_lon") < W.SEMI_HI)
+            & (F.col("rep_lat") >= W.SEMI_LO) & (F.col("rep_lat") < W.SEMI_HI))
+    sig = (relief.join(reps, "osm_id")
+           .withColumn("rural", ~semi)
+           .withColumn("signal_raw_micro",
+                       F.when(F.col("rural"),
+                              F.col("slope_mean_micro")
+                              + F.expr("relief_mean_micro div 20"))
+                       .otherwise(F.lit(0)).cast("long")))
+    inv = 1.0 / W.HILL_SMOOTH_DEG
+    r2 = W.HILL_SMOOTH_DEG * W.HILL_SMOOTH_DEG
+    rural_pts = sig.filter("rural").select(
+        "osm_id", "rep_lon", "rep_lat", "signal_raw_micro",
+        F.floor(F.col("rep_lon") * F.lit(inv)).cast("long").alias("cx"),
+        F.floor(F.col("rep_lat") * F.lit(inv)).cast("long").alias("cy"))
+    a = rural_pts.select(
+        F.col("osm_id").alias("qa"), F.col("rep_lon").alias("qx"),
+        F.col("rep_lat").alias("qy"), "cy",
+        F.explode(F.array(F.col("cx") - 1, F.col("cx"),
+                          F.col("cx") + 1)).alias("jx"))
+    b = rural_pts.select(
+        F.col("cx").alias("jx"), F.col("cy").alias("bcy"),
+        F.col("rep_lon").alias("bx"), F.col("rep_lat").alias("by"),
+        "signal_raw_micro")
+    d2 = G.point_dist2_deg(F.col("qx"), F.col("qy"),
+                           F.col("bx"), F.col("by"))
+    cand = a.join(b, "jx").filter(
+        (F.col("bcy") >= F.col("cy") - 1) & (F.col("bcy") <= F.col("cy") + 1)
+        & (d2 <= F.lit(r2)))
+    nbrs = cand.groupBy("qa").agg(
+        F.sum("signal_raw_micro").cast("long").alias("sig_sum"),
+        F.count("*").cast("long").alias("n_nbrs"))
+    smooth = F.coalesce(F.expr("sig_sum div greatest(n_nbrs, 1)"), F.lit(0))
+    return (sig.join(nbrs, sig.osm_id == nbrs.qa, "left")
+            .select(sig.osm_id, "total_len_um", "n_samples", "is_long",
+                    "relief_sum", "relief_mean_micro", "slope_mean_micro",
+                    "rural", "signal_raw_micro",
+                    F.coalesce("n_nbrs", F.lit(0)).cast("long").alias("n_nbrs"),
+                    smooth.cast("long").alias("signal_smooth_micro"),
+                    (F.col("rural")
+                     & (smooth > W.HILL_SIGNAL_THRESHOLD_MICRO)).alias("is_hill")))
 
 
-ORACLES["q44_line_relief_sample"] = _q44_sql()
+ORACLES["q44_hill_composite"] = _q44_sql()
 
 
 # --------------------------------------------------------------------- q45

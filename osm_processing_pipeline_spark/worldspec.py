@@ -195,6 +195,22 @@ ANN_PLANES = 16
 RELIEF_SAMPLE_UM = 500_000_000      # 500 m in micrometres
 RELIEF_LONG_UM = 500_000_000        # short/long-way branch threshold
 
+# hill_v2 composite chain (scripts/dev-runs/hill_scenery_run.py + sql/
+# road_scenery/hill_v2/): relief = pop band, slope = built band, both
+# sampled at the same line-interpolated points (03_compute_slope_metrics
+# .sql:20-57 samples its slope raster exactly like the relief raster);
+# hill_signal_raw = slope_mean + relief_mean/20 (05_compute_hill_signal
+# .sql:5-9), rural roads only (the reference gates on road_scenery_urban=0
+# AND semiurban=0); smoothing = average signal over roads within the 2 km
+# :smoothing_radius_deg (05_compute_hill_signal.sql:15-33 road-DWithin
+# self-join — stood in by representative-vertex proximity on a radius-sized
+# micro-grid, the q09 playbook); hill iff smoothed > threshold
+# (06_finalize_classification.sql:4-8; HILL_RELIEF_THRESHOLD=100.0 scaled
+# to this world's integer-micro signal range).  All signal arithmetic is
+# int64 micro-units so both engines agree bit-exactly.
+HILL_SMOOTH_DEG = 1.0 / 64.0        # ~1.7 km at M_PER_DEG — the "2 km" radius
+HILL_SIGNAL_THRESHOLD_MICRO = 27_000_000
+
 # kNN / endpoint-proximity
 KNN_K = 3
 ENDPOINT_DIST_DEG = 0.001953125  # 4/2048 — HAdj 50m-equiv (07_assign...sql:63-97)

@@ -112,11 +112,11 @@ def main() -> None:
         similarity.brute_force_topk(
             spark.read.parquet(f"{SF}/embeddings.parquet"), 3))
 
-    add("q44 line-interpolated raster sampling",
+    add("q44 hill_v2 composite (sampling+signal+smoothing)",
         "Cumulative segment lengths and the per-sample segment locate are "
         "pure array expressions (no shuffle before the tile gather); the "
         "raster gather is a tile-id equi-join + Arrow pixel kernel.",
-        registry.QUERIES["q44_line_relief_sample"](spark, SF))
+        registry.QUERIES["q44_hill_composite"](spark, SF))
 
     add("q45 buffered pixel histogram",
         "Sample-window candidate pixels -> exact point-to-segment refine -> "
