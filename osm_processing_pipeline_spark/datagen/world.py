@@ -225,6 +225,26 @@ def features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def coastline_segments(spark: SparkSession) -> DataFrame:
+    """Fixed deterministic coastline polyline (Lua3...lua:60-71 rs_coastline):
+    COAST_N segments, vertex k at (k/COAST_N, base + ((k*m) % mod - half)/
+    den) — exact binary fractions, so the beach DWithin refine is IEEE-exact
+    in both engines.  Size is O(1) in the scale factor: the coastline is a
+    DIMENSION (64 rows) and is always broadcast."""
+    k = F.col("id")
+
+    def y(kc):
+        return (L(W.COAST_Y_BASE)
+                + ((kc * W.COAST_Y_MUL) % W.COAST_Y_MOD - W.COAST_Y_HALF)
+                .cast("double") / L(W.COAST_Y_DEN))
+
+    n = float(W.COAST_N)
+    return spark.range(W.COAST_N).select(
+        k.alias("coast_id"),
+        (k.cast("double") / L(n)).alias("cx1"), y(k).alias("cy1"),
+        ((k + 1).cast("double") / L(n)).alias("cx2"), y(k + 1).alias("cy2"))
+
+
 def query_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN query points from ``customer`` (every 10th key — keeps the oracle's
     brute-force cross join tractable)."""

@@ -160,6 +160,45 @@ def roads_within_distance(segs: DataFrame, rcells: DataFrame,
     return full_roads.unionByName(refined).distinct()
 
 
+def roads_within_line_distance(segs: DataFrame, lines: DataFrame,
+                               radius_deg: float) -> DataFrame:
+    """Distinct osm_ids with ANY line feature within ``radius_deg`` — the
+    beach/coastline semantics (sql/road_scenery/06_scenery_beach.sql:
+    ST_DWithin(road, coastline, 0.001)).
+
+    ``lines(cx1, cy1, cx2, cy2)`` is a fixed-size dimension (the world
+    coastline — O(1) rows in the scale factor), so its radius-expanded cell
+    cover is broadcast to the road-segment cover — the classic big-fact x
+    small-dim spatial join.  The exact refine is segment-segment DWithin:
+    the segments intersect, OR some endpoint of one lies within the radius
+    of the other (the min distance between non-crossing segments is always
+    attained at an endpoint) — all existing exact kernels, never a
+    cartesian and never a pair-row materialization beyond candidates in
+    coastal cells."""
+    r2 = radius_deg * radius_deg
+    cov = lines.withColumn("_cell", F.explode(cells.bbox_cover(
+        F.least("cx1", "cx2") - radius_deg,
+        F.least("cy1", "cy2") - radius_deg,
+        F.greatest("cx1", "cx2") + radius_deg,
+        F.greatest("cy1", "cy2") + radius_deg)))
+    scov = segs.withColumn(
+        "_cell", F.explode(cells.segment_cover(F.col("ax"), F.col("ay"),
+                                               F.col("bx"), F.col("by"))))
+    cand = scov.join(F.broadcast(cov), "_cell")
+    within = (
+        G.seg_seg_intersect(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                            F.col("cx1"), F.col("cy1"), F.col("cx2"), F.col("cy2"))
+        | (G.seg_point_dist2_deg(F.col("cx1"), F.col("cy1"), F.col("cx2"),
+                                 F.col("cy2"), F.col("ax"), F.col("ay")) <= r2)
+        | (G.seg_point_dist2_deg(F.col("cx1"), F.col("cy1"), F.col("cx2"),
+                                 F.col("cy2"), F.col("bx"), F.col("by")) <= r2)
+        | (G.seg_point_dist2_deg(F.col("ax"), F.col("ay"), F.col("bx"),
+                                 F.col("by"), F.col("cx1"), F.col("cy1")) <= r2)
+        | (G.seg_point_dist2_deg(F.col("ax"), F.col("ay"), F.col("bx"),
+                                 F.col("by"), F.col("cx2"), F.col("cy2")) <= r2))
+    return cand.filter(within).select("osm_id").distinct()
+
+
 def distance_pairs_full_partial(segs: DataFrame, rcells: DataFrame,
                                 feature_pts: DataFrame, radius_deg: float,
                                 fx: str = "cx", fy: str = "cy") -> DataFrame:

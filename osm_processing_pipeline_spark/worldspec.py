@@ -195,6 +195,22 @@ ANN_PLANES = 16
 RELIEF_SAMPLE_UM = 500_000_000      # 500 m in micrometres
 RELIEF_LONG_UM = 500_000_000        # short/long-way branch threshold
 
+# Coastline + beach scenery (Lua3...lua:60-71 rs_coastline dispatch;
+# sql/road_scenery/06_scenery_beach.sql: road_scenery_beach = 1 iff
+# ST_DWithin(road, coastline, 0.001 deg ~ 100 m) and the road is rural).
+# The synthetic coastline is a fixed deterministic polyline snaking across
+# the world at lat ~ 0.25: vertex k at (k/COAST_N, 0.25 + ((k*181) % 33 -
+# 16)/2048) — every coordinate an exact binary fraction, identical in both
+# engines.  The DWithin radius is the reference's literal 0.001 deg rounded
+# to the binary fraction 2/2048.
+COAST_N = 64
+COAST_Y_MUL = 181
+COAST_Y_MOD = 33
+COAST_Y_HALF = 16
+COAST_Y_BASE = 0.25
+COAST_Y_DEN = 2048.0
+BEACH_DIST_DEG = 0.0009765625       # 2/2048 ~ the reference's 0.001 deg
+
 # hill_v2 composite chain (scripts/dev-runs/hill_scenery_run.py + sql/
 # road_scenery/hill_v2/): relief = pop band, slope = built band, both
 # sampled at the same line-interpolated points (03_compute_slope_metrics
