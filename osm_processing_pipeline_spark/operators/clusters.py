@@ -7,11 +7,11 @@ and the cluster id is the component's minimum cell id (deterministic, no
 window-over-everything).
 
 Implementation: iterative min-label propagation (label <- min(label,
-neighbors' labels)) to fixpoint — O(diameter) joins; each iteration is one
-hash join + aggregation on (cell, label) pairs.  At planetary scale the same
-loop runs on the cell table partitioned by cell id; diameters of urban blobs
-are small, so few iterations are needed (large-star/small-star would cut the
-worst case further).
+neighbors' labels)) plus POINTER JUMPING (label <- label's label) to
+fixpoint — O(log diameter) iterations, each two hash joins + an aggregation
+on (cell, label) pairs.  At planetary scale the same loop runs on the cell
+table partitioned by cell id; the driver sees only the per-iteration
+convergence count, a logarithmic number of times.
 
 ``dbscan`` adds the ST_ClusterDBSCAN option
 (sql/urban_clusters/02_clusters_opt3_test.sql:52-60, eps=1500 m,
@@ -172,6 +172,14 @@ def dbscan(cells: DataFrame, eps_deg_num: float, eps_deg_den: float,
 
 def _iterative_components(cells: DataFrame, edges: DataFrame,
                           max_iters: int) -> DataFrame:
+    """Min-label propagation WITH pointer jumping: each iteration first
+    lowers every label to the min over its neighbors' labels, then replaces
+    each label by its label's label (labels are always qualifying cell ids,
+    so the jump is a self-join on the label table).  Jumping collapses label
+    chains exponentially, so the fixpoint arrives in O(log diameter)
+    iterations instead of O(diameter) — the per-iteration driver round-trip
+    (one convergence count) happens only a logarithmic number of times, and
+    each iteration is two hash joins on (cell, label)."""
     edges = edges.localCheckpoint(eager=True)
     labels = cells.select("grid_id", F.col("grid_id").alias("component")) \
                   .localCheckpoint(eager=True)
@@ -182,13 +190,22 @@ def _iterative_components(cells: DataFrame, edges: DataFrame,
             edges.join(lbl_n, "nbr")
             .groupBy("grid_id").agg(F.min("nbr_component").alias("nbr_component"))
         )
-        updated = (
+        lowered = (
             labels.join(nbr_min, "grid_id", "left")
             .select(
                 "grid_id",
                 F.least(F.col("component"),
                         F.coalesce(F.col("nbr_component"), F.col("component")))
                 .alias("component"))
+        )
+        # pointer jump: component <- component's component (labels only ever
+        # decrease, so this preserves the exact min-reachable fixpoint)
+        jump = lowered.select(F.col("grid_id").alias("component"),
+                              F.col("component").alias("jumped"))
+        updated = (
+            lowered.join(jump, "component", "left")
+            .select("grid_id",
+                    F.coalesce("jumped", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
