@@ -54,6 +54,8 @@ HEADLINE = [
     "q46_persona_v2",
     "q47_dbscan_clusters",
     "q51_analysis_summary",
+    "q52_geodesic_length",
+    "q53_beach_scenery",
 ]
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")

@@ -2349,9 +2349,10 @@ nbrs AS (
   SELECT a.osm_id,
          CAST(SUM(b.signal_raw_micro) AS BIGINT) AS sig_sum,
          CAST(COUNT(*) AS BIGINT) AS n_nbrs
-  FROM (SELECT *, unnest([cx - 1, cx, cx + 1]) AS jx FROM rural_pts) a
-  JOIN rural_pts b ON b.cx = a.jx
-   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  FROM (SELECT * FROM
+          (SELECT *, unnest([cx - 1, cx, cx + 1]) AS jx FROM rural_pts),
+          LATERAL (SELECT unnest([cy - 1, cy, cy + 1]) AS jy)) a
+  JOIN rural_pts b ON b.cx = a.jx AND b.cy = a.jy
    AND {d2} <= {fl(r2)}
   GROUP BY a.osm_id
 )
@@ -2432,20 +2433,23 @@ def q44_hill_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "osm_id", "rep_lon", "rep_lat", "signal_raw_micro",
         F.floor(F.col("rep_lon") * F.lit(inv)).cast("long").alias("cx"),
         F.floor(F.col("rep_lat") * F.lit(inv)).cast("long").alias("cy"))
+    ring = F.array(*[
+        F.struct((F.col("cx") + dx).alias("jx"), (F.col("cy") + dy).alias("jy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     a = rural_pts.select(
         F.col("osm_id").alias("qa"), F.col("rep_lon").alias("qx"),
-        F.col("rep_lat").alias("qy"), "cy",
-        F.explode(F.array(F.col("cx") - 1, F.col("cx"),
-                          F.col("cx") + 1)).alias("jx"))
+        F.col("rep_lat").alias("qy"), F.explode(ring).alias("jc")
+    ).select("qa", "qx", "qy",
+             F.col("jc.jx").alias("jx"), F.col("jc.jy").alias("jy"))
     b = rural_pts.select(
-        F.col("cx").alias("jx"), F.col("cy").alias("bcy"),
+        F.col("cx").alias("jx"), F.col("cy").alias("jy"),
         F.col("rep_lon").alias("bx"), F.col("rep_lat").alias("by"),
         "signal_raw_micro")
     d2 = G.point_dist2_deg(F.col("qx"), F.col("qy"),
                            F.col("bx"), F.col("by"))
-    cand = a.join(b, "jx").filter(
-        (F.col("bcy") >= F.col("cy") - 1) & (F.col("bcy") <= F.col("cy") + 1)
-        & (d2 <= F.lit(r2)))
+    # equi-join on BOTH micro-cell coordinates: candidates are exactly the
+    # 3x3 ring, not a whole grid column
+    cand = a.join(b, ["jx", "jy"]).filter(d2 <= F.lit(r2))
     nbrs = cand.groupBy("qa").agg(
         F.sum("signal_raw_micro").cast("long").alias("sig_sum"),
         F.count("*").cast("long").alias("n_nbrs"))
