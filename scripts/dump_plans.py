@@ -104,11 +104,13 @@ def main() -> None:
         registry.QUERIES["q09_endpoint_proximity_upgrade"](spark, SF))
 
     add("q21 sharded-index brute-force top-k",
-        "No driver collect: both sides packed into dense blocks (groupBy-"
-        "collect_list), chunk x shard grid enumerated via broadcast join, "
-        "one BLAS GEMM per cell in an Arrow kernel, window re-rank over the "
-        "k*n_shards partials.  Data moved is O(N*chunks + N*shards) block "
-        "bytes, never O(N^2) pair rows.",
+        "No driver collect and NO index broadcast: both sides packed into "
+        "dense blocks (groupBy-collect_list), probe chunks exploded over "
+        "shard ids and SHUFFLE-hash-joined on sh (an executor holds only "
+        "the shard blocks hashed to it), one BLAS GEMM per grid cell in an "
+        "Arrow kernel, window re-rank over the k*n_shards partials.  Data "
+        "moved is O(N*chunks + N*shards) block bytes, never O(N^2) pair "
+        "rows.",
         similarity.brute_force_topk(
             spark.read.parquet(f"{SF}/embeddings.parquet"), 3))
 
@@ -123,6 +125,18 @@ def main() -> None:
         "distinct (road, pixel) -> one wide rollup; all membership math in "
         "whole-stage codegen.",
         zonal.buffer_class_histogram(s))
+
+    add("q32 tolerance-driven simplification",
+        "Deviation-bounded decimation is pure array higher-order functions "
+        "(exact seg-point kernel inside filter lambdas) — zero joins, zero "
+        "shuffles before the per-zoom union.",
+        registry.QUERIES["q32_vector_tiles"](spark, SF))
+
+    add("q53 beach scenery (line-to-line DWithin)",
+        "The coastline is an O(1)-size dimension: its radius-expanded cell "
+        "cover is BROADCAST to the road-segment cover; exact seg-seg "
+        "DWithin refine; existence collapse to distinct osm_id.",
+        registry.QUERIES["q53_beach_scenery"](spark, SF))
 
     add("q47 DBSCAN (eps-ring + CC)",
         "eps-neighborhood via k-ring candidates + exact center distance "
