@@ -159,11 +159,29 @@ def simhash_pairs(docs: DataFrame, max_hamming: int | None = None) -> DataFrame:
                       "blk", "bval")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
                       "blk", "bval")
+    # A pair sharing m blocks appears in m bucket-join rows; instead of a
+    # global distinct over the candidate set (a full shuffle of every pair
+    # row), keep only the row whose block is the pair's FIRST shared block —
+    # computable per-row from the two signatures already on the row (byte k
+    # of sa == byte k of sb for k = blk, and for no k < blk).  Exactly one
+    # row per pair survives, so the dedup is a filter inside the join stage
+    # and the distinct exchange disappears.
+    byte_eq = [((F.floor(F.col("sa") / F.lit(1 << (8 * k))) % 256)
+                == (F.floor(F.col("sb") / F.lit(1 << (8 * k))) % 256))
+               for k in range(4)]
+    no_match_before = []  # no_match_before[k] = AND_{j<k} byte_j differs
+    acc = F.lit(True)
+    for k in range(4):
+        no_match_before.append(acc)
+        acc = acc & ~byte_eq[k]
+    first_block = F.lit(False)
+    for k in range(4):
+        first_block = F.when(F.col("blk") == k, no_match_before[k]) \
+                       .otherwise(first_block)
     pairs = (
         a.join(b, ["blk", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
+        .filter(first_block)
         .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
         .filter(F.col("hamming") <= max_hamming)
     )

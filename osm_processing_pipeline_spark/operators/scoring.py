@@ -23,7 +23,7 @@ bit-identical across engines.  No UDFs anywhere: pure Catalyst expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import worldspec as W
@@ -79,26 +79,24 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
         F.min("highway").alias("highway"),
         F.max(F.when((F.col("seq") > 0) & (F.col("seq") < F.col("nv") - 1), 1)
               .otherwise(0)).alias("mid"))
+    # W3 pivot folded into the node-stats aggregate: the distinct road types
+    # at a node are a tiny set (<= |W.HIERARCHY|), so the hierarchy-ranked
+    # top-2 is sort_array(collect_set(struct(-rank, highway)))[0..1] —
+    # (rank desc, highway asc), exactly the old row_number window's order —
+    # and n_types is the set's size.  One shuffle replaces the previous
+    # three-subtree shape (stats agg + distinct + window sort + stats-top
+    # join), and the countDistinct Expand disappears with it.
+    ranked = F.struct((-hierarchy(F.col("highway"))).alias("nh"),
+                      F.col("highway").alias("hw"))
     stats = per_edge.groupBy("node_id").agg(
         F.count("*").alias("n_ways"),
-        F.countDistinct("highway").alias("n_types"),
         F.max("mid").alias("mid"),
-    ).filter(
+        F.sort_array(F.collect_set(ranked)).alias("_types"),
+    ).withColumn("n_types", F.size("_types")).filter(
         (F.col("n_ways") >= 2)
         & ((F.col("n_ways") >= 3) | (F.col("n_types") >= 2) | (F.col("mid") == 1))
-    )
-
-    # W3 pivot: rank distinct road types at the node by hierarchy.
-    # (node, highway) distinct over per_edge == over raw way_nodes: a way
-    # has exactly one highway.
-    nt = per_edge.select("node_id", "highway").distinct()
-    rn = F.row_number().over(
-        Window.partitionBy("node_id")
-        .orderBy(hierarchy(F.col("highway")).desc(), F.col("highway").asc()))
-    top = (nt.withColumn("rn", rn).filter(F.col("rn") <= 2)
-           .groupBy("node_id")
-           .agg(F.max(F.when(F.col("rn") == 1, F.col("highway"))).alias("road_type_1"),
-                F.max(F.when(F.col("rn") == 2, F.col("highway"))).alias("road_type_2")))
+    ).withColumn("road_type_1", F.col("_types")[0]["hw"]) \
+     .withColumn("road_type_2", F.element_at("_types", 2)["hw"])
 
     base = (
         F.when(F.col("n_ways") >= 4, L(W.DEGRADE_RED["major"]))
@@ -106,9 +104,8 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
         .otherwise(L(W.DEGRADE_RED["crossing"]))
     )
     red = F.when(F.col("road_type_1").isin(W.DEGRADE_TOP_HW), base * 2).otherwise(base)
-    nodes = (stats.join(top, "node_id")
-             .select("node_id", red.alias("red"),
-                     F.round(red * L(W.LEN_Q)).cast("long").alias("red_ppm")))
+    nodes = stats.select("node_id", red.alias("red"),
+                         F.round(red * L(W.LEN_Q)).cast("long").alias("red_ppm"))
 
     # ways x qualifying intersections — per_edge rows are already distinct
     # (node, way) pairs.  Reductions take only 4 binary-fraction values, so
