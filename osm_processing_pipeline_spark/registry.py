@@ -3560,6 +3560,73 @@ def q53_beach_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q53_beach_scenery"] = _q53_sql()
 
 
+# --------------------------------------------------------------------- q54
+def _q54_sql() -> str:
+    from .streaming import jobs as SJ
+    nb1 = SJ.LATE_N_BATCHES - 1
+    return f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS tus,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type,
+         CAST(floor(value * 1000.0e0) AS BIGINT) AS vmilli
+  FROM events),
+eb AS (
+  SELECT e.*, CASE WHEN event_id % {SJ.LATE_STRAGGLER_MOD} = 0
+       THEN LEAST({nb1}, LEAST({nb1},
+            (tsec - {SJ.LATE_EPOCH0_S}) // {SJ.LATE_BATCH_S}) + 2)
+       ELSE LEAST({nb1}, (tsec - {SJ.LATE_EPOCH0_S}) // {SJ.LATE_BATCH_S})
+       END AS b
+  FROM e),
+bm AS (SELECT b, MAX(tus) AS mt FROM eb GROUP BY b),
+wml AS (SELECT b1.b AS b, MAX(b2.mt) // 1000 - {SJ.LATE_DELAY_MS} AS wm_ms
+        FROM bm b1 LEFT JOIN bm b2 ON b2.b < b1.b - 1 GROUP BY b1.b),
+fin AS (SELECT MAX(mt) // 1000 - {SJ.LATE_DELAY_MS} AS wm_ms FROM bm),
+x AS (SELECT eb.*, s.off FROM eb CROSS JOIN (SELECT UNNEST([0, 1]) AS off) s),
+win AS (SELECT b, event_type, vmilli,
+               (tus // {SJ.LATE_SLIDE_S * 1000000}) * {SJ.LATE_SLIDE_S}
+               - off * {SJ.LATE_SLIDE_S} AS ws FROM x),
+kept AS (SELECT w.* FROM win w JOIN wml ON w.b = wml.b
+         WHERE wml.wm_ms IS NULL OR (w.ws + {SJ.LATE_WIN_S}) * 1000 > wml.wm_ms)
+SELECT CAST(ws AS BIGINT) AS win_start_s, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(vmilli) AS BIGINT) AS sum_value_milli
+FROM kept, fin
+WHERE (ws + {SJ.LATE_WIN_S}) * 1000 <= fin.wm_ms
+GROUP BY ws, event_type"""
+
+
+_Q54_SINK_SEQ = iter(range(1, 1 << 20))
+
+
+@register("q54_streaming_late_windows", None)
+def q54_streaming_late_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked sliding windows with REAL late-data drop — the
+    streaming semantic q25/q50 never exercise.  Events replay as four
+    deterministic time-ordered micro-batches (8-day buckets; every 16th event
+    held back two batches), aggregated into 2h/1h sliding windows under a
+    45-minute watermark.  Each window is emitted exactly once when the
+    watermark passes its end; two-batch stragglers are dropped by the
+    late-row filter; windows still open at end-of-stream are withheld.  The
+    SQL oracle replays the watermark progression batch-by-batch — late-row
+    filtering uses the PREVIOUS batch's watermark and eviction the current
+    one (Spark's two-watermark scheme, verified against query progress at
+    sf0.001 and sf0.01)."""
+    import os
+
+    from .datagen.world import CACHE_DIR
+    from .streaming import jobs as SJ
+
+    key = sf_dir.strip("/").replace("/", "_")
+    stage = f"{CACHE_DIR}/{key}/events_late_stream"
+    SJ.stage_late_batches(spark, sf_dir, stage)
+    sink = "q54_sink_{}_{}".format(
+        "".join(c if c.isalnum() else "_" for c in key), next(_Q54_SINK_SEQ))
+    return SJ.run_sliding_late_available_now(spark, stage, sink_table=sink)
+
+
+ORACLES["q54_streaming_late_windows"] = _q54_sql()
+
+
 # ---------------------------------------------------------------- ordering
 # Driver-cap hedge.  CORRECTNESS_r01 recorded rows for all 41 queries that
 # existed then; CORRECTNESS_r02 recorded rows for exactly the FIRST 50 of 51
@@ -3575,9 +3642,12 @@ ORACLES["q53_beach_scenery"] = _q53_sql()
 #
 # NOTE for future rounds: register new queries ABOVE this block.
 # q26 joins the tail with q53's arrival (sessionization is an events-table
-# demo; stateful streaming proper stays graded via q50).  Keep
+# demo; stateful streaming proper stays graded via q50), and q24 with q54's
+# (TPC-H top-10 customers — TakeOrderedAndProject top-k is also exercised by
+# q21's top-k re-rank and QC sampling by q40, both still graded).  Keep
 # len(QUERIES) - len(_TAIL) <= 50 when registering new queries.
-_TAIL = ["q26_sessionization", "q25_events_tumbling", "q23_pricing_summary"]
+_TAIL = ["q24_top_customers", "q26_sessionization", "q25_events_tumbling",
+         "q23_pricing_summary"]
 QUERIES = {**{k: v for k, v in QUERIES.items() if k not in _TAIL},
            **{k: QUERIES[k] for k in _TAIL if k in QUERIES}}
 ORACLES = {**{k: v for k, v in ORACLES.items() if k not in _TAIL},

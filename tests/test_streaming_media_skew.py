@@ -143,3 +143,24 @@ def test_stateful_streaming_first_seen_matches_batch(spark, tmp_path):
     assert (s["user_id"].values == b["user_id"].values).all()
     assert (s["first_ts"].values == b["first_ts"].values).all()
     assert (s["first_event"].values == b["first_event"].values).all()
+
+
+def test_late_window_stream_drops_and_withholds(spark, tmp_path):
+    """Append-mode watermarking must (a) drop two-batch stragglers, (b)
+    withhold windows the final watermark never closed, and (c) emit every
+    window exactly once."""
+    stage = SJ.stage_late_batches(spark, SF_SMOKE, str(tmp_path / "late_stage"))
+    out = SJ.run_sliding_late_available_now(spark, stage, "t_late").toPandas()
+    total_row_windows = 2 * spark.read.parquet(
+        f"{SF_SMOKE}/events.parquet").count()
+    emitted = int(out.n_events.sum())
+    assert emitted < total_row_windows          # something was late/withheld
+    assert emitted > 0.9 * total_row_windows    # but the stream is not lossy
+    # exactly-once emission per window key
+    assert not out.duplicated(["win_start_s", "event_type"]).any()
+    # no window still open at end-of-stream may appear: every emitted window
+    # end precedes the final watermark (global max event time - 45 min)
+    max_ts_us = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+        .agg(F.max("ts")).toPandas().iloc[0, 0].value // 1000
+    fin_wm_ms = max_ts_us // 1000 - SJ.LATE_DELAY_MS
+    assert ((out.win_start_s + SJ.LATE_WIN_S) * 1000 <= fin_wm_ms).all()
