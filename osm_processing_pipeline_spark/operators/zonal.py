@@ -64,48 +64,58 @@ def zonal_cell_sums(tiles: DataFrame, partitions: int | None = None,
         kernel, schema="grid_id long, pop_sum long, built_sum long")
 
 
+def raster_pixels(tiles: DataFrame) -> DataFrame:
+    """Decode the binary tiles into a (pid, pop_value, built_value) pixel
+    table, pid = py * RASTER_PX + px.  One short Arrow stage over the 4096
+    tile rows; everything downstream of it is pure JVM."""
+    tp = W.TILE_PX
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tx = pdf["tx"].to_numpy(np.int64)
+            ty = pdf["ty"].to_numpy(np.int64)
+            pop = decode_band(pdf["pop_data"]).astype(np.int64)
+            built = decode_band(pdf["built_data"]).astype(np.int64)
+            yy, xx = np.meshgrid(np.arange(tp), np.arange(tp), indexing="ij")
+            px = (tx[:, None, None] * tp + xx[None]).reshape(-1)
+            py = (ty[:, None, None] * tp + yy[None]).reshape(-1)
+            yield pd.DataFrame({"pid": py * W.RASTER_PX + px,
+                                "pop_value": pop.reshape(-1),
+                                "built_value": built.reshape(-1)})
+
+    return tiles.mapInPandas(
+        kernel, schema="pid long, pop_value long, built_value long")
+
+
 def sample_points(tiles: DataFrame, pts: DataFrame,
                   with_built: bool = False) -> DataFrame:
     """ST_Value(rast, point): pts(osm_id, lon, lat) -> (osm_id, pop_value
-    [, built_value]).  Points are keyed to their tile (pure arithmetic),
-    equi-joined to the tile table (broadcast when small / co-partitioned by
-    tile id at scale), pixels gathered vectorized.  ``with_built`` gathers
-    the second band in the same pass (the hill chain samples its DEM-relief
-    and slope rasters at the same points,
-    hill_v2/03_compute_slope_metrics.sql:20-57)."""
+    [, built_value]).
+
+    The gather is a broadcast hash join of the points against the decoded
+    PIXEL table on pid — whole-stage-codegen JVM, no Python in the hot path,
+    and the point side never shuffles.  (The first cut joined each point to
+    its tile ROW and gathered in an Arrow kernel; that replicates the
+    512-byte tile blobs once per point — at sf0.1 that is gigabytes of Arrow
+    traffic for a 1 MiB raster, measured 10x slower than this plan.)  The
+    raster is an O(1)-size dimension in the scale factor (the fixed 1024^2
+    world raster), so broadcasting it is the q46-playbook call — for a
+    planetary raster drop the broadcast hint and the same plan becomes a
+    shuffle hash join co-partitioned on pid.  ``with_built`` gathers the
+    second band in the same pass (the hill chain samples its DEM-relief and
+    slope rasters at the same points, hill_v2/03_compute_slope_metrics.sql:
+    20-57)."""
     px = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
                                       F.floor(F.col("lon") * W.RASTER_PX).cast("long")))
     py = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
                                       F.floor(F.col("lat") * W.RASTER_PX).cast("long")))
-    keyed = pts.select(
-        "osm_id", px.alias("px"), py.alias("py"),
-        (F.floor(py / W.TILE_PX) * W.N_TILES + F.floor(px / W.TILE_PX))
-        .cast("long").alias("tile_id"),
-    )
-    bands = ["pop_data"] + (["built_data"] if with_built else [])
-    joined = keyed.join(tiles.select("tile_id", *bands), "tile_id")
-
-    def kernel(batches):
-        tp = W.TILE_PX
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pop = decode_band(pdf["pop_data"])
-            idx = np.arange(len(pdf))
-            px_ = pdf["px"].to_numpy(np.int64) % tp
-            py_ = pdf["py"].to_numpy(np.int64) % tp
-            out = {
-                "osm_id": pdf["osm_id"].to_numpy(np.int64),
-                "pop_value": pop[idx, py_, px_].astype(np.int64),
-            }
-            if with_built:
-                built = decode_band(pdf["built_data"])
-                out["built_value"] = built[idx, py_, px_].astype(np.int64)
-            yield pd.DataFrame(out)
-
-    schema = "osm_id long, pop_value long" + (
-        ", built_value long" if with_built else "")
-    return joined.mapInPandas(kernel, schema=schema)
+    keyed = pts.select("osm_id", (py * W.RASTER_PX + px).alias("pid"))
+    cols = ["pid", "pop_value"] + (["built_value"] if with_built else [])
+    pix = raster_pixels(tiles).select(*cols)
+    out_cols = ["osm_id", "pop_value"] + (["built_value"] if with_built else [])
+    return keyed.join(F.broadcast(pix), "pid").select(*out_cols)
 
 
 def line_interpolated_samples(roads: DataFrame) -> DataFrame:
