@@ -1835,7 +1835,10 @@ SELECT component,
        CAST(MIN(grid_id // {W.NX}) AS BIGINT) AS bbox_j0,
        CAST(MAX(grid_id // {W.NX}) AS BIGINT) AS bbox_j1,
        CAST(SUM(grid_id % {W.NX}) AS BIGINT) AS centroid_i_sum,
-       CAST(SUM(grid_id // {W.NX}) AS BIGINT) AS centroid_j_sum
+       CAST(SUM(grid_id // {W.NX}) AS BIGINT) AS centroid_j_sum,
+       CAST(SUM(CAST(floor({fl((W.CELL_DEG * W.M_PER_DEG) ** 2)}
+         * {og.cos_lat(f"((CAST(grid_id // {W.NX} AS DOUBLE) + {fl(0.5)}) * {fl(W.CELL_DEG)})")})
+         AS BIGINT)) AS BIGINT) AS geo_area_m2
 FROM comp GROUP BY component"""
 
 
@@ -1843,7 +1846,14 @@ FROM comp GROUP BY component"""
 def q35_cluster_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: per-cluster dissolve rollup — area, bbox, centroid sums
     (ST_UnaryUnion(ST_Collect(...)) + area/centroid/bbox,
-    01_clusters_opt1_test.sql:59-99) as exact integer cell aggregates."""
+    01_clusters_opt1_test.sql:59-99) as exact integer cell aggregates.
+    ``geo_area_m2`` is the equal-area metric the reference computes by
+    reprojecting to UTM 32643 / Mollweide 54009
+    (01_create_india_grids.sql:96, 01_create_india_grids_54009.sql:7-20):
+    each cell's planar area scaled by cos(latitude at the cell center) via
+    the shared trig-free Taylor tree (functions/geometry.cos_lat), floored
+    per cell so the sum is order-free and engine-identical."""
+    from .functions import geometry as G
     from .operators import clusters, zonal
     from .sources.raster import raster_tiles
 
@@ -1852,11 +1862,16 @@ def q35_cluster_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = clusters.connected_components(urban)
     i = (F.col("grid_id") % W.NX).cast("long")
     j = F.floor(F.col("grid_id") / W.NX).cast("long")
-    return comp.select("component", i.alias("i"), j.alias("j")).groupBy("component").agg(
+    latc = (F.col("j").cast("double") + F.lit(0.5)) * F.lit(W.CELL_DEG)
+    cell_geo = F.floor(
+        F.lit((W.CELL_DEG * W.M_PER_DEG) ** 2) * G.cos_lat(latc)).cast("long")
+    return comp.select("component", i.alias("i"), j.alias("j")) \
+        .groupBy("component").agg(
         F.count("*").cast("long").alias("area_cells"),
         F.min("i").alias("bbox_i0"), F.max("i").alias("bbox_i1"),
         F.min("j").alias("bbox_j0"), F.max("j").alias("bbox_j1"),
-        F.sum("i").alias("centroid_i_sum"), F.sum("j").alias("centroid_j_sum"))
+        F.sum("i").alias("centroid_i_sum"), F.sum("j").alias("centroid_j_sum"),
+        F.sum(cell_geo).cast("long").alias("geo_area_m2"))
 
 
 ORACLES["q35_cluster_dissolve"] = _q35_sql()
