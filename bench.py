@@ -56,6 +56,7 @@ HEADLINE = [
     "q51_analysis_summary",
     "q52_geodesic_length",
     "q53_beach_scenery",
+    "q54_streaming_late_windows",
 ]
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")

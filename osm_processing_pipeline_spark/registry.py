@@ -2442,6 +2442,12 @@ def q44_hill_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("slope_mean_micro")
                               + F.expr("relief_mean_micro div 20"))
                        .otherwise(F.lit(0)).cast("long")))
+    # sig feeds BOTH smoothing sides and the final join — without a
+    # materialization the whole sampling+gather tree executes 3-4x.  Unlike
+    # the exploded segments/way_nodes (where checkpointing LOSES 1.7x,
+    # CLAUDE.md), sig is one narrow row per road: localCheckpoint pays for
+    # itself immediately (measured 13s -> 7.5s at sf0.1).
+    sig = sig.localCheckpoint(eager=True)
     inv = 1.0 / W.HILL_SMOOTH_DEG
     r2 = W.HILL_SMOOTH_DEG * W.HILL_SMOOTH_DEG
     rural_pts = sig.filter("rural").select(

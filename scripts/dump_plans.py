@@ -103,6 +103,14 @@ def main() -> None:
         "full-cell buckets do (measured 41 s -> ~9 s at sf0.1).",
         registry.QUERIES["q09_endpoint_proximity_upgrade"](spark, SF))
 
+    add("q28 intersection degradation (single-shuffle node pivot)",
+        "The node-level top-2 road-type pivot lives INSIDE the node-stats "
+        "aggregate as sort_array(collect_set(struct(-rank, highway))) — no "
+        "row_number window, no distinct subtree, no stats-top join, and no "
+        "countDistinct Expand; per_edge shuffles once by node_id and once "
+        "by way for the rollup (measured 8.1s -> 3.4s at sf0.1).",
+        registry.QUERIES["q28_intersection_degradation"](spark, SF))
+
     add("q21 sharded-index brute-force top-k",
         "No driver collect and NO index broadcast: both sides packed into "
         "dense blocks (groupBy-collect_list), probe chunks exploded over "
@@ -116,8 +124,13 @@ def main() -> None:
 
     add("q44 hill_v2 composite (sampling+signal+smoothing)",
         "Cumulative segment lengths and the per-sample segment locate are "
-        "pure array expressions (no shuffle before the tile gather); the "
-        "raster gather is a tile-id equi-join + Arrow pixel kernel.",
+        "pure array expressions (no shuffle before the raster gather); the "
+        "gather itself is a BROADCAST hash join of the sample points against "
+        "the decoded 1M-row pixel table on pid — whole-stage codegen, the "
+        "point side never shuffles, and the only Python is the one short "
+        "Arrow stage that decodes 4096 tile rows (the prior per-point "
+        "tile-blob join moved gigabytes through Arrow for a 1 MiB raster; "
+        "measured 12-17s -> 2-4s at sf0.1).",
         registry.QUERIES["q44_hill_composite"](spark, SF))
 
     add("q45 buffered pixel histogram",
@@ -143,6 +156,17 @@ def main() -> None:
         "(never a self cross-join); core filter; CC over the core graph; "
         "border attach by min core-neighbor component.",
         registry.QUERIES["q47_dbscan_clusters"](spark, SF))
+
+    sections.append(
+        "## q54 streaming late windows (append-mode watermark)\n\n"
+        "Structured Streaming plans are not explain-dumpable the same way; "
+        "the evidence is behavioral (tests/test_streaming_media_skew.py and "
+        "the q54 oracle): four deterministic micro-batches, state keyed on "
+        "(window, event_type) across spark.sql.shuffle.partitions state "
+        "partitions, late rows dropped with the previous batch's watermark "
+        "and windows emitted exactly once when the current watermark passes "
+        "their end.  At scale the state store partitions with the shuffle, "
+        "so throughput scales with executors like any keyed aggregation.\n")
 
     sections.append(
         "## q46 persona-v2 composite\n\n"
