@@ -55,8 +55,9 @@ def run_events_stream_available_now(spark: SparkSession, events_dir: str,
 # ----------------------------------------------------------- late-data drop
 # Append-mode watermarking is the one streaming semantic the complete-mode
 # tumbling job above never exercises: with a watermark and outputMode=append,
-# Spark drops rows whose window closed before the current watermark and
-# emits each window exactly once when the watermark passes its end.  The
+# Spark drops rows whose window closed before the late-events watermark (the
+# PREVIOUS batch's — see late_batch_id) and emits each window exactly once
+# when the eviction watermark (the current batch's) passes its end.  The
 # micro-batch sequence below is fully deterministic, so the emitted set has
 # an exact SQL twin that replays the watermark progression batch by batch.
 LATE_DELAY_MS = 45 * 60 * 1000          # withWatermark("ts", "45 minutes")
