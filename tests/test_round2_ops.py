@@ -72,3 +72,53 @@ def test_line_samples_zero_length_way(spark):
     out = zonal.line_interpolated_samples(roads).toPandas()
     assert len(out) == 1 and out.iloc[0]["n_samples"] == 1
     assert out.iloc[0]["lon"] == 0.5 and out.iloc[0]["lat"] == 0.5
+
+
+def test_simhash_first_block_filter_equals_distinct(spark):
+    """The first-shared-block filter must emit exactly the distinct candidate
+    pairs the old global distinct produced, over signatures engineered to
+    share 0..4 blocks."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    sigs = [Row(doc_id=i, simhash=rng.getrandbits(32)) for i in range(80)]
+    # force multi-block collisions: clones sharing all 4 / top 2 blocks
+    sigs += [Row(doc_id=1000 + i, simhash=sigs[i].simhash) for i in range(10)]
+    sigs += [Row(doc_id=2000 + i,
+                 simhash=(sigs[i].simhash & 0xFFFF0000) | rng.getrandbits(16))
+             for i in range(10)]
+    df = spark.createDataFrame(sigs)
+    blocks = df.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("blk"),
+                     (F.floor(F.col("simhash") / F.lit(1 << (8 * k))).cast("long")
+                      % 256).alias("bval"))
+            for k in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.bval")
+    a = blocks.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sa"), "blk", "bval")
+    b = blocks.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sb"), "blk", "bval")
+    naive = (a.join(b, ["blk", "bval"]).filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    byte_eq = [((F.floor(F.col("sa") / F.lit(1 << (8 * k))) % 256)
+                == (F.floor(F.col("sb") / F.lit(1 << (8 * k))) % 256))
+               for k in range(4)]
+    nmb, acc = [], F.lit(True)
+    for k in range(4):
+        nmb.append(acc)
+        acc = acc & ~byte_eq[k]
+    first = F.lit(False)
+    for k in range(4):
+        first = F.when(F.col("blk") == k, nmb[k]).otherwise(first)
+    fast = (a.join(b, ["blk", "bval"]).filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(first).select("doc_a", "doc_b"))
+    nv = {(r.doc_a, r.doc_b) for r in naive.collect()}
+    fv = [(r.doc_a, r.doc_b) for r in fast.collect()]
+    assert len(fv) == len(set(fv))      # exactly-once per pair
+    assert set(fv) == nv

@@ -102,3 +102,36 @@ def test_persona_two_pass_bounds(spark):
     out = scoring.persona_scores(r)
     mn, mx = out.agg(F.min("norm_bp"), F.max("norm_bp")).first()
     assert mn == 0 and mx == 10000  # extremes always hit the bounds
+
+
+def test_degradation_pivot_matches_window_reference(spark):
+    """The sort_array(collect_set(struct(-rank, highway))) pivot must rank
+    identically to the row_number window it replaced: hierarchy desc, then
+    highway asc, over the distinct highways at the node."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(20260817)
+    hws = list(W.HIERARCHY)
+    rows = [Row(node_id=i % 37, way_id=i, highway=rng.choice(hws))
+            for i in range(400)]
+    pe = spark.createDataFrame(rows)
+    nt = pe.select("node_id", "highway").distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("node_id")
+        .orderBy(scoring.hierarchy(F.col("highway")).desc(),
+                 F.col("highway").asc()))
+    want = (nt.withColumn("rn", rn).filter(F.col("rn") <= 2)
+            .groupBy("node_id")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("highway"))).alias("t1"),
+                 F.max(F.when(F.col("rn") == 2, F.col("highway"))).alias("t2")))
+    ranked = F.struct((-scoring.hierarchy(F.col("highway"))).alias("nh"),
+                      F.col("highway").alias("hw"))
+    got = (pe.groupBy("node_id")
+           .agg(F.sort_array(F.collect_set(ranked)).alias("arr"))
+           .select("node_id", F.col("arr")[0]["hw"].alias("t1"),
+                   F.element_at("arr", 2)["hw"].alias("t2")))
+    w = {r["node_id"]: (r["t1"], r["t2"]) for r in want.collect()}
+    g = {r["node_id"]: (r["t1"], r["t2"]) for r in got.collect()}
+    assert w == g
