@@ -649,7 +649,10 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
     cand = eps.join(hn_cov, "_mcell").filter(
         (F.col("hmin") != F.col("osm_id")) | (F.col("hmax") != F.col("osm_id")))
     d2 = G.point_dist2_deg(F.col("lon"), F.col("lat"), F.col("hlon"), F.col("hlat"))
-    matches = cand.filter(d2 <= F.lit(d) * F.lit(d)).select("osm_id", "ep").distinct()
+    # no distinct before the rollup: max() is idempotent over duplicate
+    # (osm_id, ep) matches and the partial aggregate dedups map-side, so the
+    # explicit distinct only added a second exchange
+    matches = cand.filter(d2 <= F.lit(d) * F.lit(d)).select("osm_id", "ep")
     per_road = matches.groupBy("osm_id").agg(
         (F.max(F.when(F.col("ep") == 0, 1).otherwise(0)) == 1).alias("near0"),
         (F.max(F.when(F.col("ep") == 1, 1).otherwise(0)) == 1).alias("near1"),
