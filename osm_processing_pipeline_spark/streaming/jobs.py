@@ -90,7 +90,13 @@ def stage_late_batches(spark: SparkSession, sf_dir: str, stage_dir: str) -> str:
     batches with strictly ascending mtimes, so FileStreamSource (which
     orders by modification time) replays exactly batch 0..N-1 one file per
     trigger.  Idempotent via a _STAGED marker (underscore-prefixed files are
-    invisible to the file source)."""
+    invisible to the file source).
+
+    This staging is TEST SCAFFOLDING for a deterministic replay: coalesce(1)
+    pins one file per micro-batch so the oracle can model the watermark
+    progression exactly.  A production ingest keeps its natural many-file
+    batches (the operator under test — sliding_late_aggregation — is
+    file-layout-agnostic; only the replay determinism needs single files)."""
     import glob
     import os
     import shutil
