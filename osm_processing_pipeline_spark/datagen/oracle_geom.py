@@ -114,6 +114,17 @@ def seg_point_dist2(ax, ay, bx, by, px, py) -> str:
     return f"({ex} * {ex} + {ey} * {ey})"
 
 
+def seg_point_geo_dist2_m2(ax, ay, bx, by, px, py) -> str:
+    """Identical tree to geometry.seg_point_geo_dist2_m2: scale x by
+    M_PER_DEG * cos_lat(feature lat), y by M_PER_DEG, then the standard
+    clamped-projection kernel on the scaled operands."""
+    c = cos_lat(py)
+    m = fl(W.M_PER_DEG)
+    return seg_point_dist2(f"(({ax} * {m}) * {c})", f"({ay} * {m})",
+                           f"(({bx} * {m}) * {c})", f"({by} * {m})",
+                           f"(({px} * {m}) * {c})", f"({py} * {m})")
+
+
 def point_dist2(ax, ay, bx, by) -> str:
     return f"(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))"
 

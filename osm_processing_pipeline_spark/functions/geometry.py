@@ -168,6 +168,22 @@ def seg_point_dist2_deg(ax, ay, bx, by, px, py) -> Column:
     return ex * ex + ey * ey
 
 
+def seg_point_geo_dist2_m2(ax, ay, bx, by, px, py) -> Column:
+    """Squared geography-mode distance (m^2) from feature point P to segment
+    AB: the equirectangular metric anchored at the FEATURE latitude — x spans
+    scale by M_PER_DEG * cos_lat(py), y spans by M_PER_DEG — then the same
+    clamped-projection kernel as ``seg_point_dist2_deg`` on the scaled
+    coordinates.  This is the metre-true ST_DWithin the reference gets from
+    buffering in EPSG:3857 (07_assign_scenery_score.sql:67-68) instead of the
+    degree thresholds of 04_scenery_hill.sql.  Anchoring cos at the feature
+    keeps the metric exact-twinnable: one scale per candidate pair, every
+    operand in a fixed order, identical tree in both engines."""
+    c = cos_lat(py)
+    m = D(M_PER_DEG)
+    return seg_point_dist2_deg((ax * m) * c, ay * m, (bx * m) * c, by * m,
+                               (px * m) * c, py * m)
+
+
 def point_dist2_deg(ax, ay, bx, by) -> Column:
     dx = bx - ax
     dy = by - ay

@@ -3651,6 +3651,78 @@ def q54_streaming_late_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q54_streaming_late_windows"] = _q54_sql()
 
 
+# --------------------------------------------------------------------- q55
+def _q55_sql() -> str:
+    dd = oracle.fl(W.GEO_DWITHIN_M / (W.M_PER_DEG * W.GEO_COS_FLOOR))
+    d2 = og.seg_point_geo_dist2_m2("s.ax", "s.ay", "s.bx", "s.by",
+                                   "f.cx", "f.cy")
+    r2 = oracle.fl(W.GEO_DWITHIN_M * W.GEO_DWITHIN_M)
+    return f"""{oracle.with_world('segs', 'feats')}
+SELECT osm_id,
+       CAST(COUNT(DISTINCT feature_id) AS BIGINT) AS n_geo_hills,
+       MIN(dist_mm) AS min_geo_mm
+FROM (
+  SELECT s.osm_id, f.feature_id,
+         CAST(floor(sqrt({d2}) * {oracle.fl(1000.0)}) AS BIGINT) AS dist_mm
+  FROM segs s JOIN feats f ON f.layer = 'hills_nodes'
+    AND f.cx >= LEAST(s.ax, s.bx) - {dd} AND f.cx <= GREATEST(s.ax, s.bx) + {dd}
+    AND f.cy >= LEAST(s.ay, s.by) - {dd} AND f.cy <= GREATEST(s.ay, s.by) + {dd}
+  WHERE {d2} <= {r2}
+)
+GROUP BY osm_id"""
+
+
+@register("q55_geo_dwithin", None)
+def q55_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography-mode ST_DWithin — the metre-true distance predicate that
+    completes the CRS trio (lengths q52, equal-area dissolve q35, distances
+    here): roads within GEO_DWITHIN_M metres of a hill feature under the
+    cos-lat equirectangular metric, with per-road feature count and min
+    geodesic distance in mm.  The reference gets metre semantics by
+    buffering in EPSG:3857 (sql/road_scenery/07_assign_scenery_score.sql:
+    67-68) and measuring in geography (06_handle_roads...sql:21); the
+    engine anchors cos at the feature latitude so both engines evaluate one
+    shared exact tree (functions/geometry.seg_point_geo_dist2_m2).
+
+    Scale shape: same two-phase join as q04 — feature disk covers (radius
+    conservatively widened by 1/GEO_COS_FLOOR for the anisotropic metric)
+    equi-joined to segment cell covers, exact refine, then ONE shuffle
+    keyed on uniform osm_id.  Unlike the existence-only q04 flag, min
+    distance needs the exact kernel on every candidate pair, so there is
+    deliberately no full-cover shortcut; duplicate (segment, feature)
+    candidates from shared cells are absorbed by COUNT(DISTINCT)/MIN
+    rather than a pair distinct (the q17 first-owner lesson: never pay a
+    global distinct when the aggregate is idempotent)."""
+    from .functions import cells
+    from .functions import geometry as G
+
+    s = world.segments(spark, sf_dir)
+    pts = (world.features(spark, sf_dir)
+           .filter(F.col("layer") == "hills_nodes")
+           .select("feature_id", "cx", "cy"))
+    cover_deg = W.GEO_DWITHIN_M / (W.M_PER_DEG * W.GEO_COS_FLOOR)
+    scov = s.withColumn(
+        "_cell", F.explode(cells.segment_cover(F.col("ax"), F.col("ay"),
+                                               F.col("bx"), F.col("by"))))
+    fcov = pts.withColumn(
+        "_cell", F.explode(cells.disk_cover_of_point(F.col("cx"), F.col("cy"),
+                                                     cover_deg)))
+    d2 = G.seg_point_geo_dist2_m2(F.col("ax"), F.col("ay"), F.col("bx"),
+                                  F.col("by"), F.col("cx"), F.col("cy"))
+    r2 = F.lit(W.GEO_DWITHIN_M * W.GEO_DWITHIN_M)
+    cand = (scov.join(fcov, "_cell")
+            .filter(d2 <= r2)
+            .select("osm_id", "feature_id",
+                    F.floor(F.sqrt(d2) * F.lit(1000.0)).cast("long")
+                    .alias("dist_mm")))
+    return cand.groupBy("osm_id").agg(
+        F.countDistinct("feature_id").cast("long").alias("n_geo_hills"),
+        F.min("dist_mm").alias("min_geo_mm"))
+
+
+ORACLES["q55_geo_dwithin"] = _q55_sql()
+
+
 # ---------------------------------------------------------------- ordering
 # Driver-cap hedge.  CORRECTNESS_r01 recorded rows for all 41 queries that
 # existed then; CORRECTNESS_r02 recorded rows for exactly the FIRST 50 of 51

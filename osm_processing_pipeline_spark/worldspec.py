@@ -244,6 +244,17 @@ LEN_Q = 1.0e6
 GEO_LAT0_DEG = 12.0
 RAD_PER_DEG = 0.017453292519943295
 
+# Geography-mode ST_DWithin (q55): a metre radius instead of the degree
+# thresholds above — the reference's EPSG:3857 buffer semantics
+# (sql/road_scenery/07_assign_scenery_score.sql:67-68 buffers in metres).
+# GEO_COS_FLOOR is a conservative lower bound on cos(GEO_LAT0_DEG + lat)
+# over the world window (true min ~0.9744 at lat 13); it only widens the
+# candidate cell cover / oracle bbox prefilter — the exact refine uses the
+# shared cos_lat tree, so completeness needs floor <= true cos, never
+# equality.
+GEO_DWITHIN_M = 3000.0
+GEO_COS_FLOOR = 0.97
+
 # ------------------------------------------- derived scoring (Parts 5/6)
 # Intersection speed degradation (sql/road_intersection_density/
 # 03_calculate_base_degradation_v2.sql:16-69, 04_calculate_final_*.sql:30-60):
