@@ -233,7 +233,11 @@ def q04_distance_join_scenery(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = world.roads_materialized(spark, sf_dir)
     s = world.segments(spark, sf_dir, r)
     feats = world.features(spark, sf_dir)
-    rcells = spatial_join.road_cells(s)
+    # narrow (osm_id, cell) presence table consumed by BOTH distance
+    # branches below — localCheckpoint pays one serialize for two saved
+    # explode+exact-test+distinct subtrees (the q44 narrow-table lesson;
+    # A/B at sf0.1: q46 32.6->19.5s, q04 2.40->1.82s best-of-3)
+    rcells = spatial_join.road_cells(s).localCheckpoint(eager=True)
 
     def flag(layer: str, d: float, rarity: int = 1) -> DataFrame:
         pts = feats.filter(F.col("layer") == layer)
@@ -2974,7 +2978,11 @@ def q46_persona_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakes = (spatial_join.point_in_polygon_join(
                 wpts, feats.filter(F.col("layer") == "lakes"))
              .select("osm_id").distinct().withColumn("_lake", F.lit(1)))
-    rcells = spatial_join.road_cells(s)
+    # narrow (osm_id, cell) presence table consumed by BOTH distance
+    # branches below — localCheckpoint pays one serialize for two saved
+    # explode+exact-test+distinct subtrees (the q44 narrow-table lesson;
+    # A/B at sf0.1: q46 32.6->19.5s, q04 2.40->1.82s best-of-3)
+    rcells = spatial_join.road_cells(s).localCheckpoint(eager=True)
 
     def dist_flag(layer: str, dist: float, mark: str) -> DataFrame:
         pts = feats.filter(F.col("layer") == layer) \
