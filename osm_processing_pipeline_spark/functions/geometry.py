@@ -173,9 +173,13 @@ def seg_point_geo_dist2_m2(ax, ay, bx, by, px, py) -> Column:
     AB: the equirectangular metric anchored at the FEATURE latitude — x spans
     scale by M_PER_DEG * cos_lat(py), y spans by M_PER_DEG — then the same
     clamped-projection kernel as ``seg_point_dist2_deg`` on the scaled
-    coordinates.  This is the metre-true ST_DWithin the reference gets from
-    buffering in EPSG:3857 (07_assign_scenery_score.sql:67-68) instead of the
-    degree thresholds of 04_scenery_hill.sql.  Anchoring cos at the feature
+    coordinates.  This is the metre-true ST_DWithin the reference gets by
+    working in EPSG:3857 — the 50 m endpoint DWithin of
+    sql/road_classification/07_assign_final_road_classification.sql:89-96 and
+    the 25 m geom_3857 buffers of road_scenery_v2/02_worldcover_sampling.sql:9
+    — extrapolated here to the hill proximity that 04_scenery_hill.sql states
+    in degrees (a geography-mode variant, not a reference query).  Anchoring
+    cos at the feature
     keeps the metric exact-twinnable: one scale per candidate pair, every
     operand in a fixed order, identical tree in both engines."""
     c = cos_lat(py)

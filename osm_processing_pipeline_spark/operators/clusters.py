@@ -56,7 +56,9 @@ def connected_components(cells: DataFrame, max_iters: int = 64,
 
     The driver path derives 4-neighbors in pure Python from the collected
     ids (no Spark job for the edge list); the distributed path uses the
-    computed ``cell_neighbors`` join."""
+    computed ``cell_neighbors`` join.  Here the cell gate alone is sound:
+    4-adjacency bounds the edge list at 4n (~800k pairs at the 200k cap),
+    unlike the arbitrary graphs of ``connected_components_edges``."""
     cells = cells.persist()
     n = cells.count()
     if n <= driver_threshold:
@@ -74,7 +76,8 @@ def connected_components(cells: DataFrame, max_iters: int = 64,
 
 def connected_components_edges(cells: DataFrame, edges: DataFrame,
                                max_iters: int = 64,
-                               driver_threshold: int = 200_000) -> DataFrame:
+                               driver_threshold: int = 200_000,
+                               driver_edge_threshold: int = 1_000_000) -> DataFrame:
     """Generic CC: cells(grid_id) + symmetric edges(grid_id, nbr) ->
     (grid_id, component = min reachable id); exact fixpoint.
 
@@ -82,12 +85,21 @@ def connected_components_edges(cells: DataFrame, edges: DataFrame,
     "small data: collect cell ids to driver, union-find") take the exact
     driver union-find path, mirroring the reference's driver-side global
     reductions (persona_v2_run.py:264-339); large inputs iterate
-    distributed min-label propagation over the given edge set."""
+    distributed min-label propagation over the given edge set.
+
+    The gate is on BOTH collected lists: 200k cell ids are ~3 MB of Python
+    longs, but an arbitrary edge set over 200k vertices can be dense — a
+    DBSCAN eps-graph over a tight blob approaches n*k edges — so the edge
+    list is counted (it is persisted first; the distributed path reuses the
+    materialization) and anything past 1M pairs (~100 MB as Python tuples,
+    the real driver cost) takes the distributed path."""
     cells = cells.persist()
     n = cells.count()
-    out = (_driver_union_find(cells, edges) if n <= driver_threshold
-           else _iterative_components(cells, edges, max_iters))
-    return out
+    if n <= driver_threshold:
+        edges = edges.persist()
+        if edges.count() <= driver_edge_threshold:
+            return _driver_union_find(cells, edges)
+    return _iterative_components(cells, edges, max_iters)
 
 
 def _driver_union_find(cells: DataFrame, edges: DataFrame) -> DataFrame:

@@ -89,24 +89,34 @@ def raster_pixels(tiles: DataFrame) -> DataFrame:
         kernel, schema="pid long, pop_value long, built_value long")
 
 
+# Broadcast the decoded pixel table only while it is dimension-sized: rows
+# are 3 longs (~40 B materialized), so 2^21 pixels is ~80 MB on the driver —
+# comfortably broadcastable, an order of magnitude above the fixed 1024^2
+# world raster (1.05 M px), and far below a planetary DEM, which takes the
+# shuffle path below with NO code edit.
+BROADCAST_PIXEL_MAX = 1 << 21
+
+
 def sample_points(tiles: DataFrame, pts: DataFrame,
-                  with_built: bool = False) -> DataFrame:
+                  with_built: bool = False,
+                  n_tiles: int = W.N_TILES * W.N_TILES) -> DataFrame:
     """ST_Value(rast, point): pts(osm_id, lon, lat) -> (osm_id, pop_value
     [, built_value]).
 
-    The gather is a broadcast hash join of the points against the decoded
-    PIXEL table on pid — whole-stage-codegen JVM, no Python in the hot path,
-    and the point side never shuffles.  (The first cut joined each point to
-    its tile ROW and gathered in an Arrow kernel; that replicates the
-    512-byte tile blobs once per point — at sf0.1 that is gigabytes of Arrow
-    traffic for a 1 MiB raster, measured 10x slower than this plan.)  The
-    raster is an O(1)-size dimension in the scale factor (the fixed 1024^2
-    world raster), so broadcasting it is the q46-playbook call — for a
-    planetary raster drop the broadcast hint and the same plan becomes a
-    shuffle hash join co-partitioned on pid.  ``with_built`` gathers the
-    second band in the same pass (the hill chain samples its DEM-relief and
-    slope rasters at the same points, hill_v2/03_compute_slope_metrics.sql:
-    20-57)."""
+    The gather is a hash join of the points against the decoded PIXEL table
+    on pid — whole-stage-codegen JVM, no Python in the hot path.  (The first
+    cut joined each point to its tile ROW and gathered in an Arrow kernel;
+    that replicates the 512-byte tile blobs once per point — at sf0.1 that
+    is gigabytes of Arrow traffic for a 1 MiB raster, measured 10x slower
+    than this plan.)  The join STRATEGY is chosen from ``n_tiles`` (the same
+    scale signal ``zonal_cell_sums`` derives its partition count from): a
+    dimension-sized raster (the fixed 1024^2 world raster: 4096 tiles ->
+    1.05 M px) broadcasts, so the point side never shuffles; anything above
+    BROADCAST_PIXEL_MAX (a planetary DEM) takes a shuffle hash join
+    co-partitioned on pid automatically — the 100 TB path needs no edit.
+    ``with_built`` gathers the second band in the same pass (the hill chain
+    samples its DEM-relief and slope rasters at the same points,
+    hill_v2/03_compute_slope_metrics.sql:20-57)."""
     px = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
                                       F.floor(F.col("lon") * W.RASTER_PX).cast("long")))
     py = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
@@ -114,8 +124,15 @@ def sample_points(tiles: DataFrame, pts: DataFrame,
     keyed = pts.select("osm_id", (py * W.RASTER_PX + px).alias("pid"))
     cols = ["pid", "pop_value"] + (["built_value"] if with_built else [])
     pix = raster_pixels(tiles).select(*cols)
+    if n_tiles * W.TILE_PX * W.TILE_PX <= BROADCAST_PIXEL_MAX:
+        pix = F.broadcast(pix)
+    else:
+        # pixel side has no Catalyst stats (mapInPandas output), so pin the
+        # shuffle hash join — sort-merge would sort the full pixel table for
+        # a gather that only needs bucketed lookups
+        pix = pix.hint("shuffle_hash")
     out_cols = ["osm_id", "pop_value"] + (["built_value"] if with_built else [])
-    return keyed.join(F.broadcast(pix), "pid").select(*out_cols)
+    return keyed.join(pix, "pid").select(*out_cols)
 
 
 def line_interpolated_samples(roads: DataFrame) -> DataFrame:

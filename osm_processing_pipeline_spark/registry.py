@@ -3686,9 +3686,13 @@ def q55_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     completes the CRS trio (lengths q52, equal-area dissolve q35, distances
     here): roads within GEO_DWITHIN_M metres of a hill feature under the
     cos-lat equirectangular metric, with per-road feature count and min
-    geodesic distance in mm.  The reference gets metre semantics by
-    buffering in EPSG:3857 (sql/road_scenery/07_assign_scenery_score.sql:
-    67-68) and measuring in geography (06_handle_roads...sql:21); the
+    geodesic distance in mm.  The reference gets metre DWithin semantics by
+    working in EPSG:3857 (50 m endpoint DWithin,
+    sql/road_classification/07_assign_final_road_classification.sql:89-96;
+    25 m buffers, road_scenery_v2/02_worldcover_sampling.sql:9) and measures
+    lengths in geography (06_handle_roads...sql:21); this query is that
+    metre semantics EXTRAPOLATED to the hill layer (04_scenery_hill.sql
+    itself states the radius in degrees — q04 mirrors that directly).  The
     engine anchors cos at the feature latitude so both engines evaluate one
     shared exact tree (functions/geometry.seg_point_geo_dist2_m2).
 
@@ -3744,15 +3748,31 @@ ORACLES["q55_geo_dwithin"] = _q55_sql()
 # sessionization and q50 stateful streaming).  The local sf0.001 oracle gate
 # (tests/test_queries_oracle.py) still covers every query including the tail.
 #
-# NOTE for future rounds: register new queries ABOVE this block.
-# q26 joins the tail with q53's arrival (sessionization is an events-table
-# demo; stateful streaming proper stays graded via q50), and q24 with q54's
-# (TPC-H top-10 customers — TakeOrderedAndProject top-k is also exercised by
-# q21's top-k re-rank and QC sampling by q40, both still graded).  Keep
-# len(QUERIES) - len(_TAIL) <= 50 when registering new queries.
+# NOTE for future rounds: register new queries ABOVE this block.  The GRADED
+# head is the first 50 entries of queries() in iteration order; everything in
+# _TAIL is ungraded-by-design and stays covered by the local sf0.001 oracle
+# gate (tests/test_queries_oracle.py runs every query including the tail).
+# Tail membership, each with the graded query that keeps its operator shape
+# covered:
+#   q23 pricing summary   — grouped-agg demo; A1 graded via q01
+#   q24 top customers     — top-k demo; TakeOrderedAndProject graded via q21
+#   q25 tumbling windows  — event-time windowing graded via q54 (watermarked)
+#   q26 sessionization    — events demo; stateful streaming graded via q50
+#   q40 qc sample         — deterministic sampling; top-k/sampling via q21
+#   q42 fourlane          — single regex-CASE filter; lane parsing graded via
+#                           q31 (speed ladder) and q46/q58 (persona scoring)
+#   q48 dissolve boundary — A11 dissolve graded via q35 (equal-area variant)
+#   q11 raster point sample — J7 gather graded via q44, whose hill chain runs
+#                           the identical sample_points operator (both bands)
+# Round-3 learned the cap the hard way (q51, then q55 got no driver row);
+# the assert makes the invariant structural instead of a comment.
 _TAIL = ["q24_top_customers", "q26_sessionization", "q25_events_tumbling",
-         "q23_pricing_summary"]
+         "q23_pricing_summary", "q40_qc_sample", "q42_fourlane",
+         "q48_dissolve_boundary", "q11_raster_point_sample"]
 QUERIES = {**{k: v for k, v in QUERIES.items() if k not in _TAIL},
            **{k: QUERIES[k] for k in _TAIL if k in QUERIES}}
 ORACLES = {**{k: v for k, v in ORACLES.items() if k not in _TAIL},
            **{k: ORACLES[k] for k in _TAIL if k in ORACLES}}
+assert len(QUERIES) - len(_TAIL) <= 50, (
+    f"graded head overflow: {len(QUERIES) - len(_TAIL)} non-tail queries; "
+    "the driver grades only the first 50 — demote a demo shape to _TAIL")

@@ -245,8 +245,11 @@ GEO_LAT0_DEG = 12.0
 RAD_PER_DEG = 0.017453292519943295
 
 # Geography-mode ST_DWithin (q55): a metre radius instead of the degree
-# thresholds above — the reference's EPSG:3857 buffer semantics
-# (sql/road_scenery/07_assign_scenery_score.sql:67-68 buffers in metres).
+# thresholds above — the metre semantics the reference gets via geom_3857
+# (50 m endpoint DWithin, sql/road_classification/07_assign_final_road_
+# classification.sql:89-96; 25 m buffers, road_scenery_v2/02_worldcover_
+# sampling.sql:9), extrapolated to the hill layer as a geography-mode
+# variant (04_scenery_hill.sql itself states the radius in degrees).
 # GEO_COS_FLOOR is a conservative lower bound on cos(GEO_LAT0_DEG + lat)
 # over the world window (true min ~0.9744 at lat 13); it only widens the
 # candidate cell cover / oracle bbox prefilter — the exact refine uses the
