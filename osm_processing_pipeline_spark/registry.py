@@ -3735,6 +3735,77 @@ def q55_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q55_geo_dwithin"] = _q55_sql()
 
 
+# --------------------------------------------------------------------- q56
+def _q56_steps():
+    from .functions import projection as P
+
+    steps = []
+    for p, (lon, lat) in [("c", ("cx", "cy")), ("pa", ("x0", "y0")),
+                          ("pb", ("x1", "y0")), ("pd", ("x1", "y1")),
+                          ("pe", ("x0", "y1"))]:
+        steps += P.mollweide_steps(p, lon, lat)
+    steps += P.quad_shoelace_steps("area_raw", ["pa", "pb", "pd", "pe"])
+    return steps
+
+
+def _q56_sql() -> str:
+    from .functions import projection as P
+
+    fl = oracle.fl
+    xlo, ylo, xhi, yhi = W.MOLL_BBOX
+    half = fl(W.CELL_DEG / 2.0)
+    return f"""{oracle.with_world('grid')},
+cells AS (
+  SELECT grid_id, x0, y0, x1, y1,
+         x0 + {half} AS cx, y0 + {half} AS cy
+  FROM grid
+  WHERE x1 >= {fl(xlo)} AND x0 <= {fl(xhi)}
+    AND y1 >= {fl(ylo)} AND y0 <= {fl(yhi)}
+),
+proj AS (
+  SELECT * FROM {P.steps_sql_from(_q56_steps(), 'cells')}
+)
+SELECT grid_id,
+       CAST(floor(c_x * {fl(1000.0)}) AS BIGINT) AS centroid_x_mm,
+       CAST(floor(c_y * {fl(1000.0)}) AS BIGINT) AS centroid_y_mm,
+       CAST(floor(area_raw) AS BIGINT) AS grid_area_m2
+FROM proj"""
+
+
+@register("q56_mollweide_grid", None)
+def q56_mollweide_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True map projection — the grid overlay in World Mollweide
+    (sql/urban_pressure/01_create_india_grids_54009.sql:7-20: per cell,
+    ST_Transform(grid_geom, 54009), ST_PointOnSurface and ST_Area, under a
+    test-bounds envelope filter).  The engine projects each cell's center
+    (the point-on-surface of a convex quad) and four corners with the
+    closed-form spherical Mollweide kernel — Taylor trig + fixed-count
+    Newton, single-sourced for BOTH engines by functions/projection.py's
+    dual-expression builder — and takes the corner quad's shoelace area as
+    ST_Area of the projected cell (Mollweide is equal-area, so the quad
+    tracks the true cell area; ~737k m2 per 1/128-deg cell at lat 12-13).
+
+    Scale shape: a pure per-row map over the grid dimension — no shuffle,
+    no Python; at a planetary grid this is one whole-stage-codegen pass."""
+    from .functions import projection as P
+
+    xlo, ylo, xhi, yhi = W.MOLL_BBOX
+    g = (world.grids(spark)
+         .filter((F.col("x1") >= xlo) & (F.col("x0") <= xhi)
+                 & (F.col("y1") >= ylo) & (F.col("y0") <= yhi))
+         .withColumn("cx", F.col("x0") + F.lit(W.CELL_DEG / 2.0))
+         .withColumn("cy", F.col("y0") + F.lit(W.CELL_DEG / 2.0)))
+    g = P.apply_steps(g, _q56_steps())
+    return g.select(
+        "grid_id",
+        F.floor(F.col("c_x") * F.lit(1000.0)).cast("long").alias("centroid_x_mm"),
+        F.floor(F.col("c_y") * F.lit(1000.0)).cast("long").alias("centroid_y_mm"),
+        F.floor(F.col("area_raw")).cast("long").alias("grid_area_m2"))
+
+
+ORACLES["q56_mollweide_grid"] = _q56_sql()
+
+
 # ---------------------------------------------------------------- ordering
 # Driver-cap hedge.  CORRECTNESS_r01 recorded rows for all 41 queries that
 # existed then; CORRECTNESS_r02 recorded rows for exactly the FIRST 50 of 51

@@ -244,6 +244,25 @@ LEN_Q = 1.0e6
 GEO_LAT0_DEG = 12.0
 RAD_PER_DEG = 0.017453292519943295
 
+# True-projection family (functions/projection.py): spherical Mollweide —
+# the closed form behind the reference's EPSG:54009 grids/centroids/areas
+# (sql/urban_pressure/01_create_india_grids_54009.sql:7-20; 54009 proper is
+# the WGS84 ellipsoidal Mollweide — the spherical form is declared).  The
+# world window's longitudes are anchored Bangalore-ish like its latitudes.
+# KX/KY are computed ONCE here in Python so both engines consume the same
+# correctly-rounded double literal.
+GEO_LON0_DEG = 77.0
+MOLL_R = 6371000.0
+MOLL_PI = 3.141592653589793
+MOLL_SQRT2 = 1.4142135623730951
+MOLL_KX = MOLL_R * (2.0 * MOLL_SQRT2) / MOLL_PI   # x = KX * lam * cos(theta)
+MOLL_KY = MOLL_R * MOLL_SQRT2                     # y = KY * sin(theta)
+MOLL_NEWTON_ITERS = 3
+# q56 mirrors the reference's test-bounds envelope filter: cells whose
+# envelope intersects this bbox (binary-exact bounds; touching counts, as
+# ST_Intersects does).
+MOLL_BBOX = (0.25, 0.25, 0.75, 0.75)
+
 # Geography-mode ST_DWithin (q55): a metre radius instead of the degree
 # thresholds above — the metre semantics the reference gets via geom_3857
 # (50 m endpoint DWithin, sql/road_classification/07_assign_final_road_
