@@ -157,6 +157,81 @@ feat_edges AS (
 )""".strip()
 
 
+def _pent_unit_rows() -> str:
+    """UNION ALL of the five pentagon unit-direction edge rows."""
+    n = len(W.PENT_X)
+    rows = []
+    for i in range(n):
+        j = (i + 1) % n
+        rows.append(
+            f"SELECT {i} AS e, {fl(W.PENT_X[i])} AS ux1, {fl(W.PENT_Y[i])} AS uy1, "
+            f"{fl(W.PENT_X[j])} AS ux2, {fl(W.PENT_Y[j])} AS uy2"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def extra_feats_cte() -> str:
+    """shrub/protected_area pentagon features from part — the same
+    derivation as datagen/world.extra_features."""
+    km = W.EXTRA_KEEP_MOD
+    layer = _case_pick(f"(b2 % {km})",
+                       W.EXTRA_LAYERS + [None] * (km - len(W.EXTRA_LAYERS)))
+    return f"""
+extra_feats AS (
+  SELECT pk + {W.EXTRA_FEATURE_OFF} AS feature_id, {layer} AS layer,
+         CAST((b2*37) % 1024 AS DOUBLE)/1024.0e0 AS cx,
+         CAST((b2*59) % 1024 AS DOUBLE)/1024.0e0 AS cy,
+         CAST((b2 // 8) % 8 + 1 AS DOUBLE)/512.0e0 AS r
+  FROM (
+    SELECT p_partkey AS pk, (p_partkey * {W.EXTRA_B_MUL}) % {W.A_MOD} AS b2
+    FROM part
+  )
+  WHERE b2 % {km} < {len(W.EXTRA_LAYERS)}
+)""".strip()
+
+
+def extra_edges_cte() -> str:
+    return f"""
+extra_edges AS (
+  SELECT f.feature_id, f.layer, e.e,
+         f.cx + f.r * e.ux1 AS x1, f.cy + f.r * e.uy1 AS y1,
+         f.cx + f.r * e.ux2 AS x2, f.cy + f.r * e.uy2 AS y2
+  FROM extra_feats f CROSS JOIN ({_pent_unit_rows()}) e
+)""".strip()
+
+
+def admin_cte() -> str:
+    """Administrative pentagons from nation (level 2/4/5 escalation ladder)
+    — twin of datagen/world.admin_areas."""
+    g = W.ADMIN_GRID
+    rb = W.ADMIN_R_BASE
+    return f"""
+admin AS (
+  SELECT admin_id, level,
+         CAST((admin_id*{W.ADMIN_CX_MUL}) % {g} AS DOUBLE)/{fl(float(g))} + {fl(1.0 / (2 * g))} AS cx,
+         CAST((admin_id*{W.ADMIN_CY_MUL} + {W.ADMIN_CY_ADD}) % {g} AS DOUBLE)/{fl(float(g))} + {fl(1.0 / (2 * g))} AS cy,
+         CAST(CASE level WHEN 2 THEN {rb[2]} WHEN 4 THEN {rb[4]} ELSE {rb[5]} END
+              + admin_id % 3 AS DOUBLE)/{fl(W.ADMIN_R_DEN)} AS r
+  FROM (
+    SELECT n_nationkey AS admin_id,
+           CASE WHEN n_nationkey % 5 = 0 THEN 2
+                WHEN n_nationkey % 5 IN (1, 2) THEN 4
+                ELSE 5 END AS level
+    FROM nation
+  )
+)""".strip()
+
+
+def admin_edges_cte() -> str:
+    return f"""
+admin_edges AS (
+  SELECT a.admin_id, a.level, e.e,
+         a.cx + a.r * e.ux1 AS x1, a.cy + a.r * e.uy1 AS y1,
+         a.cx + a.r * e.ux2 AS x2, a.cy + a.r * e.uy2 AS y2
+  FROM admin a CROSS JOIN ({_pent_unit_rows()}) e
+)""".strip()
+
+
 def qpts_cte() -> str:
     return """
 qpts AS (
@@ -169,7 +244,8 @@ qpts AS (
 
 def with_world(*ctes: str) -> str:
     """Assemble a WITH clause from named fragments (deduplicated, ordered)."""
-    order = ["roads_base", "verts", "segs", "grid", "feats", "feat_edges", "qpts"]
+    order = ["roads_base", "verts", "segs", "grid", "feats", "feat_edges",
+             "extra_feats", "extra_edges", "admin", "admin_edges", "qpts"]
     known = {
         "roads_base": roads_base_cte,
         "verts": verts_cte,
@@ -177,12 +253,18 @@ def with_world(*ctes: str) -> str:
         "grid": grid_cte,
         "feats": feats_cte,
         "feat_edges": feat_edges_cte,
+        "extra_feats": extra_feats_cte,
+        "extra_edges": extra_edges_cte,
+        "admin": admin_cte,
+        "admin_edges": admin_edges_cte,
         "qpts": qpts_cte,
     }
     deps = {
         "verts": ["roads_base"],
         "segs": ["roads_base", "verts"],
         "feat_edges": ["feats"],
+        "extra_edges": ["extra_feats"],
+        "admin_edges": ["admin"],
     }
     wanted: set[str] = set()
 

@@ -225,6 +225,67 @@ def features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pentagon(cx, cy, r):
+    """edges array + bbox columns for a pentagon centered (cx, cy) radius r —
+    the shared polygon shape of features()/extra_features()/admin_areas()."""
+    vx = [cx + r * L(c) for c in W.PENT_X]
+    vy = [cy + r * L(c) for c in W.PENT_Y]
+    n = len(W.PENT_X)
+    edges = F.array(*[
+        F.struct(vx[i].alias("x1"), vy[i].alias("y1"),
+                 vx[(i + 1) % n].alias("x2"), vy[(i + 1) % n].alias("y2"))
+        for i in range(n)
+    ])
+    return edges, cx - r, cy - r, cx + r, cy + r
+
+
+def extra_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shrub / protected_area pentagon layers (Lua3...lua:359-377 rs_protected
+    and rs_shrub dispatch) — derived from ``part`` with a hash independent of
+    features() so the original eight layers' rows are byte-identical to
+    earlier rounds.  ~25% of part rows carry one extra feature."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    b2 = (F.col("p_partkey") * L(W.EXTRA_B_MUL)) % L(W.A_MOD)
+    df = (p.select(F.col("p_partkey").alias("pk"), b2.alias("b2"))
+          .filter(F.col("b2") % W.EXTRA_KEEP_MOD < len(W.EXTRA_LAYERS)))
+    layer = _pick((F.col("b2") % W.EXTRA_KEEP_MOD).cast("int"),
+                  W.EXTRA_LAYERS + [None] * (W.EXTRA_KEEP_MOD - len(W.EXTRA_LAYERS)))
+    cx = ((F.col("b2") * 37) % 1024).cast("double") / L(1024.0)
+    cy = ((F.col("b2") * 59) % 1024).cast("double") / L(1024.0)
+    r = (F.floor(F.col("b2") / 8) % 8 + 1).cast("double") / L(512.0)
+    df = df.select((F.col("pk") + L(W.EXTRA_FEATURE_OFF)).alias("feature_id"),
+                   layer.alias("layer"), cx.alias("cx"), cy.alias("cy"),
+                   r.alias("r"))
+    edges, xmin, ymin, xmax, ymax = _pentagon(F.col("cx"), F.col("cy"), F.col("r"))
+    return df.select("feature_id", "layer", "cx", "cy", "r",
+                     edges.alias("edges"), xmin.alias("xmin"),
+                     ymin.alias("ymin"), xmax.alias("xmax"), ymax.alias("ymax"))
+
+
+def admin_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Administrative boundary polygons (rs_india_bounds,
+    Lua3...lua:443-457) from ``nation`` — 25 pentagons with admin_level in
+    {2 country, 4 state, 5 district} (the escalation ladder of
+    01_create_india_grids.sql:55-90).  O(1) dimension: always broadcast."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    nk = F.col("n_nationkey")
+    lv = (F.when(nk % 5 == 0, L(2))
+          .when((nk % 5).isin(1, 2), L(4)).otherwise(L(5)))
+    cx = ((nk * W.ADMIN_CX_MUL) % W.ADMIN_GRID).cast("double") \
+        / L(float(W.ADMIN_GRID)) + L(1.0 / (2 * W.ADMIN_GRID))
+    cy = ((nk * W.ADMIN_CY_MUL + W.ADMIN_CY_ADD) % W.ADMIN_GRID).cast("double") \
+        / L(float(W.ADMIN_GRID)) + L(1.0 / (2 * W.ADMIN_GRID))
+    base = (F.when(lv == 2, L(W.ADMIN_R_BASE[2]))
+            .when(lv == 4, L(W.ADMIN_R_BASE[4])).otherwise(L(W.ADMIN_R_BASE[5])))
+    r = (base + nk % 3).cast("double") / L(W.ADMIN_R_DEN)
+    df = n.select(nk.alias("admin_id"), lv.alias("level"),
+                  cx.alias("cx"), cy.alias("cy"), r.alias("r"))
+    edges, xmin, ymin, xmax, ymax = _pentagon(F.col("cx"), F.col("cy"), F.col("r"))
+    return df.select("admin_id", "level", "cx", "cy", "r",
+                     edges.alias("edges"), xmin.alias("xmin"),
+                     ymin.alias("ymin"), xmax.alias("xmax"), ymax.alias("ymax"))
+
+
 def coastline_segments(spark: SparkSession) -> DataFrame:
     """Fixed deterministic coastline polyline (Lua3...lua:60-71 rs_coastline):
     COAST_N segments, vertex k at (k/COAST_N, base + ((k*m) % mod - half)/

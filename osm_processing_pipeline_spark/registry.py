@@ -3806,6 +3806,169 @@ def q56_mollweide_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q56_mollweide_grid"] = _q56_sql()
 
 
+# --------------------------------------------------------------------- q57
+def _q57_sql() -> str:
+    fl = oracle.fl
+    cd = fl(W.CELL_DEG)
+    n_ = W.NX
+    cross_a = og.point_in_poly_crossing("p.lon", "p.lat",
+                                        "e.x1", "e.y1", "e.x2", "e.y2")
+    cross_x = og.point_in_poly_crossing("p.lon", "p.lat",
+                                        "e.x1", "e.y1", "e.x2", "e.y2")
+    corner = og.point_in_poly_crossing("g.x0", "g.y0",
+                                       "e.x1", "e.y1", "e.x2", "e.y2")
+    edge_hit = og.seg_rect_hit(ax="e.x1", ay="e.y1", bx="e.x2", by="e.y2",
+                               x0="g.x0", y0="g.y0", x1="g.x1", y1="g.y1")
+    repcell = (f"GREATEST(0, LEAST({W.NY - 1}, CAST(floor(lat / {cd}) AS BIGINT))) * {n_} "
+               f"+ GREATEST(0, LEAST({n_ - 1}, CAST(floor(lon / {cd}) AS BIGINT)))")
+    return f"""{oracle.with_world('verts', 'admin_edges', 'extra_edges', 'grid')},
+reps AS (
+  SELECT osm_id, lon, lat, {repcell} AS rep_cell FROM verts WHERE k = nv // 2
+),
+admin_hits AS (
+  SELECT p.osm_id, a.admin_id, a.level
+  FROM reps p
+  JOIN admin a ON p.lon >= a.cx - a.r AND p.lon <= a.cx + a.r
+              AND p.lat >= a.cy - a.r AND p.lat <= a.cy + a.r
+  JOIN admin_edges e USING (admin_id)
+  GROUP BY p.osm_id, p.lon, p.lat, a.admin_id, a.level
+  HAVING SUM({cross_a}) % 2 = 1
+),
+road_admin AS (
+  SELECT osm_id,
+         MAX(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS c,
+         MIN(CASE WHEN level = 4 THEN admin_id END) AS state_raw,
+         COUNT(DISTINCT CASE WHEN level = 4 THEN admin_id END) AS n_states
+  FROM admin_hits GROUP BY osm_id
+),
+extra_hits AS (
+  SELECT p.osm_id, f.feature_id, f.layer
+  FROM reps p
+  JOIN extra_feats f ON p.lon >= f.cx - f.r AND p.lon <= f.cx + f.r
+                    AND p.lat >= f.cy - f.r AND p.lat <= f.cy + f.r
+  JOIN extra_edges e USING (feature_id)
+  GROUP BY p.osm_id, p.lon, p.lat, f.feature_id, f.layer
+  HAVING SUM({cross_x}) % 2 = 1
+),
+road_extra AS (
+  SELECT osm_id,
+         MAX(CASE WHEN layer = 'protected_area' THEN 1 ELSE 0 END) AS prot,
+         MAX(CASE WHEN layer = 'shrub' THEN 1 ELSE 0 END) AS shr
+  FROM extra_hits GROUP BY osm_id
+),
+admin_cells_i AS (
+  SELECT *, unnest(generate_series(i0, i1)) AS ci FROM (
+    SELECT admin_id, level,
+      GREATEST(0, LEAST({n_ - 1}, CAST(floor((cx - r) / {cd}) AS BIGINT))) AS i0,
+      GREATEST(0, LEAST({n_ - 1}, CAST(floor((cx + r) / {cd}) AS BIGINT))) AS i1,
+      GREATEST(0, LEAST({W.NY - 1}, CAST(floor((cy - r) / {cd}) AS BIGINT))) AS j0,
+      GREATEST(0, LEAST({W.NY - 1}, CAST(floor((cy + r) / {cd}) AS BIGINT))) AS j1
+    FROM admin
+  )
+),
+admin_cells AS (
+  SELECT admin_id, level, unnest(generate_series(j0, j1)) * {n_} + ci AS grid_id
+  FROM admin_cells_i
+),
+cell_admin AS (
+  SELECT g.grid_id, ac.level
+  FROM admin_cells ac
+  JOIN grid g USING (grid_id)
+  JOIN admin_edges e USING (admin_id)
+  GROUP BY g.grid_id, ac.admin_id, ac.level, g.x0, g.y0, g.x1, g.y1
+  HAVING MAX(CASE WHEN {edge_hit} THEN 1 ELSE 0 END) = 1
+      OR SUM({corner}) % 2 = 1
+),
+valid AS (SELECT grid_id, MIN(level) AS valid_level FROM cell_admin GROUP BY grid_id)
+SELECT p.osm_id,
+       COALESCE(ra.c, 0) = 1 AS in_country,
+       CAST(COALESCE(ra.state_raw, -1) AS BIGINT) AS state_id,
+       CAST(COALESCE(ra.n_states, 0) AS BIGINT) AS n_states,
+       COALESCE(rx.prot, 0) = 1 AS in_protected,
+       COALESCE(rx.shr, 0) = 1 AS in_shrub,
+       CAST(COALESCE(v.valid_level, 0) AS BIGINT) AS rep_valid_level
+FROM reps p
+LEFT JOIN road_admin ra USING (osm_id)
+LEFT JOIN road_extra rx USING (osm_id)
+LEFT JOIN valid v ON v.grid_id = p.rep_cell"""
+
+
+@register("q57_admin_bounds", None)
+def q57_admin_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three dispatch layers the engine lacked (VERDICT r3 missing #3):
+    rs_india_bounds administrative relations (Lua3...lua:443-457), rs_protected
+    (boundary=protected_area, :359-367) and rs_shrub (natural=scrub/heath/...,
+    :368-377), all query-covered at once.
+
+    Semantics mirror the reference's two distinct uses: (a) roads are
+    assigned to admin areas by containment of a single REPRESENTATIVE point
+    — not the any-vertex rule of the forest/desert scenery layers — giving
+    country membership, state assignment (min containing level-4 id) and the
+    rep-point protected/shrub flags; (b) grid cells are validated by the
+    admin-level ESCALATION ladder of 01_create_india_grids.sql:55-90
+    (valid if intersecting a level-2 boundary, else level-4, else level-5 —
+    i.e. MIN intersecting level; 0 = the reference's DELETEd invalid cells),
+    with exact cell-pentagon intersection = any-edge Liang-Barsky hit OR
+    cell-corner containment.
+
+    Scale shape: admin bounds are an O(1) dimension (25 rows) — every join
+    against them is a cell-cover equi-join that broadcasts; shrub/protected
+    are O(sf) features joined through the same two-phase cell-cover PIP as
+    q03.  One osm_id shuffle for each rollup; no pair distinct anywhere."""
+    from .functions import cells, geometry as G
+
+    r = world.roads_materialized(spark, sf_dir)
+    mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
+    rep = F.element_at("vertices", mid)
+    reps = r.select("osm_id", rep["lon"].alias("lon"), rep["lat"].alias("lat"))
+    admin = world.admin_areas(spark, sf_dir)
+
+    ah = spatial_join.point_in_polygon_join(reps, admin)
+    road_admin = ah.groupBy("osm_id").agg(
+        F.max(F.when(F.col("level") == 2, 1).otherwise(0)).alias("c"),
+        F.min(F.when(F.col("level") == 4, F.col("admin_id"))).alias("state_raw"),
+        F.countDistinct(F.when(F.col("level") == 4, F.col("admin_id")))
+        .alias("n_states"))
+
+    eh = spatial_join.point_in_polygon_join(reps, world.extra_features(spark, sf_dir))
+    road_extra = eh.groupBy("osm_id").agg(
+        F.max(F.when(F.col("layer") == "protected_area", 1).otherwise(0)).alias("prot"),
+        F.max(F.when(F.col("layer") == "shrub", 1).otherwise(0)).alias("shr"))
+
+    g = world.grids(spark)
+    ac = admin.withColumn(
+        "_cell", F.explode(cells.bbox_cover(F.col("xmin"), F.col("ymin"),
+                                            F.col("xmax"), F.col("ymax"))))
+    cand = g.join(ac.select(F.col("_cell").alias("grid_id"), "level", "edges"),
+                  "grid_id")
+    edge_hit = F.exists(
+        "edges", lambda e: G.seg_rect_intersects(
+            e["x1"], e["y1"], e["x2"], e["y2"],
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")))
+    corner_in = G.point_in_poly(F.col("x0"), F.col("y0"), F.col("edges"))
+    valid = (cand.filter(edge_hit | corner_in)
+             .groupBy("grid_id").agg(F.min("level").alias("valid_level")))
+
+    base = reps.select(
+        "osm_id", cells.cell_of_point(F.col("lon"), F.col("lat")).alias("rep_cell"))
+    return (base
+            .join(road_admin, "osm_id", "left")
+            .join(road_extra, "osm_id", "left")
+            .join(valid.withColumnRenamed("grid_id", "rep_cell"), "rep_cell", "left")
+            .select(
+                "osm_id",
+                (F.coalesce("c", F.lit(0)) == 1).alias("in_country"),
+                F.coalesce("state_raw", F.lit(-1)).cast("long").alias("state_id"),
+                F.coalesce("n_states", F.lit(0)).cast("long").alias("n_states"),
+                (F.coalesce("prot", F.lit(0)) == 1).alias("in_protected"),
+                (F.coalesce("shr", F.lit(0)) == 1).alias("in_shrub"),
+                F.coalesce("valid_level", F.lit(0)).cast("long")
+                .alias("rep_valid_level")))
+
+
+ORACLES["q57_admin_bounds"] = _q57_sql()
+
+
 # ---------------------------------------------------------------- ordering
 # Driver-cap hedge.  CORRECTNESS_r01 recorded rows for all 41 queries that
 # existed then; CORRECTNESS_r02 recorded rows for exactly the FIRST 50 of 51
