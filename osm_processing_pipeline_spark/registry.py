@@ -1629,35 +1629,62 @@ ORACLES["q31_avg_speed"] = _q31_sql()
 
 # --------------------------------------------------------------------- q32
 def _q32_sql() -> str:
-    """Tolerance-driven odd-parity deviation decimation, twin of
-    operators/tiles.py: per pass keep a vertex iff it is an endpoint,
-    even-indexed, or its exact point-to-segment deviation from its
-    neighbors' chord is >= the per-pass tolerance squared."""
+    """True global-tolerance Douglas-Peucker, twin of operators/tiles.py:
+    endpoints seed the kept set; each of the NV_MAX - 2 fixpoint iterations
+    splits every consecutive-kept chord at its max-deviation interior vertex
+    (exact seg-point kernel, smallest-k tie-break) iff that deviation
+    exceeds the GLOBAL tolerance.  The previous/next kept vertex of each row
+    is an atomic struct MIN/MAX window over {'k', 'x', 'y'} (k leads, so the
+    lexicographic extreme IS the nearest kept row), mirroring the Spark
+    side's kept-index-array fold."""
     lenm = og.seg_len_m("px_lon", "px_lat", "lon", "lat")
     rt = _sql_road_type("v")
     fl = oracle.fl
-    dev2 = og.seg_point_dist2("plon", "plat", "nlon", "nlat", "lon", "lat")
+    dev2 = og.seg_point_dist2("pv['x']", "pv['y']", "nx['x']", "nx['y']",
+                              "lon", "lat")
     parts = []
     ctes = []
-    for zi, (zoom, t, tol, passes) in enumerate(W.ZOOMS):
-        tol2 = (tol / passes) * (tol / passes)
-        prev = "verts"
-        for p in range(passes):
-            win = f"(PARTITION BY osm_id ORDER BY k)"
-            ctes.append(f"""
-z{zi}p{p} AS (
-  SELECT osm_id, highway, ref, nv, k, lon, lat FROM (
-    SELECT osm_id, highway, ref, nv, k, lon, lat,
-           ROW_NUMBER() OVER {win} - 1 AS rn,
-           COUNT(*) OVER (PARTITION BY osm_id) AS n,
-           LAG(lon) OVER {win} AS plon,
-           LAG(lat) OVER {win} AS plat,
-           LEAD(lon) OVER {win} AS nlon,
-           LEAD(lat) OVER {win} AS nlat
-    FROM {prev}
-  ) WHERE rn = 0 OR rn = n - 1 OR rn % 2 = 0 OR {dev2} >= {fl(tol2)}
+    for zi, (zoom, t, tol) in enumerate(W.ZOOMS):
+        tol2 = tol * tol
+        ctes.append(f"""
+z{zi}i0 AS (
+  SELECT osm_id, highway, ref, nv, k, lon, lat,
+         (k = 0 OR k = nv - 1) AS kept
+  FROM verts
 )""".strip())
-            prev = f"z{zi}p{p}"
+        n_iter = W.NV_MAX - 2
+        for it in range(n_iter):
+            ctes.append(f"""
+z{zi}i{it + 1} AS (
+  SELECT osm_id, highway, ref, nv, k, lon, lat,
+         kept OR (dev2 IS NOT NULL AND dev2 > {fl(tol2)}
+                  AND k = MIN(CASE WHEN dev2 = maxd THEN k END)
+                          OVER (PARTITION BY osm_id, pk)) AS kept
+  FROM (
+    SELECT *, MAX(dev2) OVER (PARTITION BY osm_id, pk) AS maxd
+    FROM (
+      SELECT osm_id, highway, ref, nv, k, lon, lat, kept,
+             pv['k'] AS pk,
+             CASE WHEN NOT kept THEN {dev2} END AS dev2
+      FROM (
+        SELECT *,
+               MAX(CASE WHEN kept THEN {{'k': k, 'x': lon, 'y': lat}} END)
+                 OVER (PARTITION BY osm_id ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               MIN(CASE WHEN kept THEN {{'k': k, 'x': lon, 'y': lat}} END)
+                 OVER (PARTITION BY osm_id ORDER BY k
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+        FROM z{zi}i{it}
+      )
+    )
+  )
+)""".strip())
+        ctes.append(f"""
+z{zi}f AS (
+  SELECT osm_id, highway, ref, nv, k, lon, lat
+  FROM z{zi}i{n_iter} WHERE kept
+)""".strip())
+        prev = f"z{zi}f"
         tx = f"GREATEST(0, LEAST({t - 1}, CAST(floor(rep_lon * {t}) AS BIGINT)))"
         ty = f"GREATEST(0, LEAST({t - 1}, CAST(floor(rep_lat * {t}) AS BIGINT)))"
         parts.append(f"""
@@ -1690,10 +1717,11 @@ JOIN (SELECT osm_id, lon AS rep_lon, lat AS rep_lat FROM verts WHERE k = nv // 2
 
 @register("q32_vector_tiles", None)
 def q32_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7: per-zoom vector-tile materialization — tile assignment +
-    tolerance-driven deviation-bounded decimation (every dropped vertex lies
-    within tol_by_zoom of the simplified line, endpoints always kept) +
-    simplified length (vis_persona_v2_normalised_z10.sql:44-66;
+    """S7: per-zoom vector-tile materialization — tile assignment + TRUE
+    global-tolerance Douglas-Peucker (deviation measured against the
+    ORIGINAL line's chords, endpoints always kept — the exact guarantee
+    shape of ST_SimplifyPreserveTopology) + simplified length
+    (vis_persona_v2_normalised_z10.sql:44-66;
     ST_SimplifyPreserveTopology(geom, 0.0005) at :55)."""
     from .operators import tiles
 
@@ -2566,90 +2594,29 @@ def q45_buffer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q45_buffer_histogram"] = _q45_sql()
 
 
-# --------------------------------------------------------------------- q46
-def _q46_sql() -> str:
-    from .operators import persona as P
+# ------------------------------------------------- shared oracle chains
+# CTE-text builders shared by the persona composites (q46 v2, q58 v1) and
+# the scenery layers — each returns the exact generated SQL the monolithic
+# _q46_sql/_q53_sql carried before round 4's extraction, so the green
+# queries' oracle text is unchanged.
 
-    fl = oracle.fl
-    # --- HAdj upgrade (q09 chain, prefixed) ---------------------------------
-    d = fl(W.ENDPOINT_DIST_DEG)
-    hd2 = og.point_dist2("e.lon", "e.lat", "h.hlon", "h.hlat")
-    # --- classification setting (q01 chain) ---------------------------------
-    lenm = og.seg_len_m()
-    piece = og.quantize_um(f"({og.seg_rect_frac()}) * ({lenm})")
+
+def _setting_sql() -> str:
+    """q01 majority-setting CASE over the cl_per sums."""
     u, s_, ru = ("COALESCE(c.u, 0)", "COALESCE(c.s, 0)", "COALESCE(c.ru, 0)")
     tot = f"({u} + {s_} + {ru})"
-    setting = (f"CASE WHEN {tot} = 0 THEN 'Rural' "
-               f"WHEN {u} * 2 >= {tot} THEN 'Urban' "
-               f"WHEN ({u} + {s_}) * 2 >= {tot} THEN 'Semi_Urban' "
-               f"ELSE 'Rural' END")
-    # --- twist (q08 chain, prefixed) ----------------------------------------
-    M, Q = fl(W.M_PER_DEG), fl(W.LEN_Q)
-    win = int(W.SUPPRESS_M * 1.0e6)
-    nconf = len(W.CONFLICT_TYPES)
-    twist = ("CASE WHEN COALESCE(tt.total_len_um, 0) > 0 "
-             "THEN ((COALESCE(tr.sharp_len_um, 0) * 2 + "
-             "COALESCE(tr.broad_len_um, 0)) * 1000) "
-             "// GREATEST(tt.total_len_um, 1) ELSE 0 END")
-    # --- degradation (q28 chain, prefixed) ----------------------------------
-    dtop = ", ".join(f"'{h}'" for h in W.DEGRADE_TOP_HW)
-    dbase = (f"CASE WHEN n_ways >= 4 THEN {fl(W.DEGRADE_RED['major'])} "
-             f"WHEN n_ways = 3 THEN {fl(W.DEGRADE_RED['three_way'])} "
-             f"ELSE {fl(W.DEGRADE_RED['crossing'])} END")
-    # --- pressure (q12) at the rep cell (q02) -------------------------------
-    ppc = W.PX_PER_CELL
-    pdr = f"LEAST(pop_sum / {fl(W.POP_SAT_CELL)}, {fl(1.0)})"
-    bur = f"LEAST(built_sum / {fl(W.BUILT_SAT_CELL)}, {fl(1.0)})"
-    pressure = f"({fl(1.0)} - ({fl(1.0)} - {pdr}) * ({fl(1.0)} - {bur}))"
-    cd = fl(W.CELL_DEG)
-    rep = (f"GREATEST(0, LEAST({W.NY - 1}, CAST(floor(lat / {cd}) AS BIGINT))) "
-           f"* {W.NX} "
-           f"+ GREATEST(0, LEAST({W.NX - 1}, CAST(floor(lon / {cd}) AS BIGINT)))")
-    # --- scenery flags (q03 lakes PIP; q04-style distance joins) ------------
-    cross = og.point_in_poly_crossing("v.lon", "v.lat", "e.x1", "e.y1",
-                                      "e.x2", "e.y2")
+    return (f"CASE WHEN {tot} = 0 THEN 'Rural' "
+            f"WHEN {u} * 2 >= {tot} THEN 'Urban' "
+            f"WHEN ({u} + {s_}) * 2 >= {tot} THEN 'Semi_Urban' "
+            f"ELSE 'Rural' END")
 
-    def dist_hits(name: str, layer: str, dist: float) -> str:
-        dd = fl(dist)
-        sd2 = og.seg_point_dist2("s.ax", "s.ay", "s.bx", "s.by", "f.cx", "f.cy")
-        return f"""{name} AS (
-  SELECT DISTINCT s.osm_id
-  FROM segs s JOIN feats f ON f.layer = '{layer}'
-    AND f.cx >= LEAST(s.ax, s.bx) - {dd} AND f.cx <= GREATEST(s.ax, s.bx) + {dd}
-    AND f.cy >= LEAST(s.ay, s.by) - {dd} AND f.cy <= GREATEST(s.ay, s.by) + {dd}
-  WHERE {sd2} <= {dd} * {dd}
-)"""
 
-    # --- WorldCover buffer fractions (q45 chain, prefixed) ------------------
-    n, k = W.RASTER_PX, len(W.WCLASSES)
-    buf = fl(W.WC_BUF_PX / float(n))
-    step = fl(float(W.WC_SAMPLE_STEP_PX))
-    t = "(CAST(j AS DOUBLE) / CAST(m AS DOUBLE))"
-    wd2 = og.seg_point_dist2("ax", "ay", "bx", "by", "pcx", "pcy")
-    # --- shared formula stages ----------------------------------------------
-    bik = ", ".join(f"'{h}'" for h in W.BIKABLE)
-    first_int = ("COALESCE(CAST(NULLIF(regexp_extract(lanes, '([0-9]+)', 1), "
-                 "'') AS INT), 0)")
-    drv = ",\n         ".join(f"{e} AS {c}"
-                              for c, e in P.derived_exprs(fl).items())
-    par = ",\n         ".join(f"{e} AS {c}"
-                              for c, e in P.param_exprs(fl).items())
-    par2 = ",\n         ".join(f"{e} AS {c}"
-                               for c, e in P.param2_exprs(fl).items())
-    per = ",\n         ".join(f"{e} AS {c}"
-                              for c, e in P.persona_exprs(fl).items())
-    bounds = ", ".join(f"MIN({c}) AS {c}_mn, MAX({c}) AS {c}_mx"
-                       for c in P.PERSONA_COLS)
-    out_params = ",\n       ".join(
-        f"{P.quant(fl, c)} AS {c.replace('score_', '').replace('scenic_', '')}"
-        f"_micro" for c in P.PARAM_COLS)
-    out_pers = ",\n       ".join(f"{P.quant(fl, c)} AS {c}_micro"
-                                 for c in P.PERSONA_COLS)
-    out_norms = ",\n       ".join(
-        f"{P.quant(fl, P.norm_expr(fl, c, f'pb.{c}_mn', f'pb.{c}_mx'))} "
-        f"AS {c}_norm_micro" for c in P.PERSONA_COLS)
-    return f"""{oracle.with_world('segs', 'grid', 'verts', 'feat_edges')},
-h_types AS (
+def _hadj_sql_ctes() -> str:
+    """q09 HAdj endpoint-upgrade chain (h_types..h_per)."""
+    fl = oracle.fl
+    d = fl(W.ENDPOINT_DIST_DEG)
+    hd2 = og.point_dist2("e.lon", "e.lat", "h.hlon", "h.hlat")
+    return f"""h_types AS (
   SELECT osm_id AS h_osm FROM roads_base
   WHERE ref IS NOT NULL AND (upper(ref) LIKE '%NH%' OR upper(ref) LIKE '%SH%'
                              OR upper(ref) LIKE '%MDR%')
@@ -2674,8 +2641,15 @@ h_per AS (
          MAX(CASE WHEN ep = 0 THEN 1 ELSE 0 END) = 1
          AND MAX(CASE WHEN ep = 1 THEN 1 ELSE 0 END) = 1 AS hadj_upgrade
   FROM h_matches GROUP BY osm_id
-),
-{og.cand_cells_ctes('segs')},
+)"""
+
+
+def _cl_sql_ctes() -> str:
+    """q01 classification chain: seg cell cover + per-road class-length
+    sums (emits ``seg_cells``, reusable by any cell-cover consumer)."""
+    lenm = og.seg_len_m()
+    piece = og.quantize_um(f"({og.seg_rect_frac()}) * ({lenm})")
+    return f"""{og.cand_cells_ctes('segs')},
 cl_per AS (
   SELECT c.osm_id,
          SUM(CASE WHEN g.grid_class = 'Urban' THEN {piece} ELSE 0 END) AS u,
@@ -2684,8 +2658,16 @@ cl_per AS (
   FROM seg_cells c JOIN grid g USING (grid_id)
   WHERE {og.seg_rect_hit()}
   GROUP BY c.osm_id
-),
-tw_segd AS (
+)"""
+
+
+def _tw_sql_ctes() -> str:
+    """q08 twistiness chain (tw_segd..tw_tot)."""
+    fl = oracle.fl
+    M, Q = fl(W.M_PER_DEG), fl(W.LEN_Q)
+    win = int(W.SUPPRESS_M * 1.0e6)
+    nconf = len(W.CONFLICT_TYPES)
+    return f"""tw_segd AS (
   SELECT osm_id, k, nv, lon, lat, node_id,
          (LEAD(lon) OVER w - lon) * {M} AS sdx,
          (LEAD(lat) OVER w - lat) * {M} AS sdy,
@@ -2744,7 +2726,168 @@ tw_roll AS (
          SUM(CASE WHEN broad0 AND NOT sharp AND NOT sup THEN contrib_um ELSE 0 END) AS broad_len_um
   FROM tw_flags GROUP BY osm_id
 ),
-tw_tot AS (SELECT osm_id, SUM(seg_um) AS total_len_um FROM tw_segq GROUP BY osm_id),
+tw_tot AS (SELECT osm_id, SUM(seg_um) AS total_len_um FROM tw_segq GROUP BY osm_id)"""
+
+
+def _tw_permille_join() -> str:
+    """Per-road twist_permille subquery (joins tw_roll/tw_tot to every
+    road), the text q46's inraw LEFT JOINs."""
+    twist = ("CASE WHEN COALESCE(tt.total_len_um, 0) > 0 "
+             "THEN ((COALESCE(tr.sharp_len_um, 0) * 2 + "
+             "COALESCE(tr.broad_len_um, 0)) * 1000) "
+             "// GREATEST(tt.total_len_um, 1) ELSE 0 END")
+    return f"""(
+    SELECT r.osm_id,
+           CAST({twist.replace('tr.', 'tr2.').replace('tt.', 'tt2.')} AS BIGINT)
+             AS twist_permille
+    FROM roads_base r
+    LEFT JOIN tw_roll tr2 ON tr2.osm_id = r.osm_id
+    LEFT JOIN tw_tot tt2 ON tt2.osm_id = r.osm_id
+  )"""
+
+
+def _pip_hits_cte(name: str, layer: str) -> str:
+    """Distinct osm_ids with ANY vertex inside a pentagon of ``layer``
+    (the q03/q46-lakes crossing-parity PIP)."""
+    cross = og.point_in_poly_crossing("v.lon", "v.lat", "e.x1", "e.y1",
+                                      "e.x2", "e.y2")
+    return f"""{name} AS (
+  SELECT DISTINCT osm_id FROM (
+    SELECT v.osm_id
+    FROM verts v
+    JOIN feats f ON f.is_poly AND f.layer = '{layer}'
+      AND v.lon >= f.cx - f.r AND v.lon <= f.cx + f.r
+      AND v.lat >= f.cy - f.r AND v.lat <= f.cy + f.r
+    JOIN feat_edges e ON e.feature_id = f.feature_id
+    GROUP BY v.osm_id, v.k, v.lon, v.lat, f.feature_id
+    HAVING SUM({cross}) % 2 = 1
+  )
+)"""
+
+
+def _dist_hits_cte(name: str, layer: str, dist: float) -> str:
+    """Distinct osm_ids with any segment within ``dist`` of a point
+    feature of ``layer`` (the q04-style distance join)."""
+    fl = oracle.fl
+    dd = fl(dist)
+    sd2 = og.seg_point_dist2("s.ax", "s.ay", "s.bx", "s.by", "f.cx", "f.cy")
+    return f"""{name} AS (
+  SELECT DISTINCT s.osm_id
+  FROM segs s JOIN feats f ON f.layer = '{layer}'
+    AND f.cx >= LEAST(s.ax, s.bx) - {dd} AND f.cx <= GREATEST(s.ax, s.bx) + {dd}
+    AND f.cy >= LEAST(s.ay, s.by) - {dd} AND f.cy <= GREATEST(s.ay, s.by) + {dd}
+  WHERE {sd2} <= {dd} * {dd}
+)"""
+
+
+def _coast_sql_ctes() -> str:
+    """q53 coastline dimension: the fixed polyline + its dilated cell
+    cover (coast, coast_cells_i, coast_cells)."""
+    fl = oracle.fl
+    W_ = W
+    n_, cd = W_.NX, fl(W_.CELL_DEG)
+    r = W_.BEACH_DIST_DEG
+    yk = (f"({fl(W_.COAST_Y_BASE)} + CAST((k * {W_.COAST_Y_MUL}) "
+          f"% {W_.COAST_Y_MOD} - {W_.COAST_Y_HALF} AS DOUBLE) "
+          f"/ {fl(W_.COAST_Y_DEN)})")
+    yk1 = (f"({fl(W_.COAST_Y_BASE)} + CAST(((k + 1) * {W_.COAST_Y_MUL}) "
+           f"% {W_.COAST_Y_MOD} - {W_.COAST_Y_HALF} AS DOUBLE) "
+           f"/ {fl(W_.COAST_Y_DEN)})")
+    return f"""coast AS (
+  SELECT k,
+         CAST(k AS DOUBLE) / {fl(float(W_.COAST_N))} AS cx1, {yk} AS cy1,
+         CAST(k + 1 AS DOUBLE) / {fl(float(W_.COAST_N))} AS cx2, {yk1} AS cy2
+  FROM (SELECT unnest(generate_series(0, {W_.COAST_N - 1})) AS k)
+),
+coast_cells_i AS (
+  SELECT *, unnest(generate_series(i0, i1)) AS ci FROM (
+    SELECT *,
+      GREATEST(0, LEAST({n_ - 1}, CAST(floor((LEAST(cx1, cx2) - {fl(r)}) / {cd}) AS BIGINT))) AS i0,
+      GREATEST(0, LEAST({n_ - 1}, CAST(floor((GREATEST(cx1, cx2) + {fl(r)}) / {cd}) AS BIGINT))) AS i1,
+      GREATEST(0, LEAST({W_.NY - 1}, CAST(floor((LEAST(cy1, cy2) - {fl(r)}) / {cd}) AS BIGINT))) AS j0,
+      GREATEST(0, LEAST({W_.NY - 1}, CAST(floor((GREATEST(cy1, cy2) + {fl(r)}) / {cd}) AS BIGINT))) AS j1
+    FROM coast
+  )
+),
+coast_cells AS (
+  SELECT *, unnest(generate_series(j0, j1)) * {n_} + ci AS grid_id
+  FROM coast_cells_i
+)"""
+
+
+def _coast_hits_cte(name: str) -> str:
+    """Distinct osm_ids with any segment line-DWithin of the coastline
+    (consumes ``seg_cells`` and the _coast_sql_ctes tables)."""
+    fl = oracle.fl
+    r = W.BEACH_DIST_DEG
+    r2 = r * r
+    within = (
+        og.seg_seg_intersect("ax", "ay", "bx", "by",
+                             "cx1", "cy1", "cx2", "cy2")
+        + f" OR {og.seg_point_dist2('cx1', 'cy1', 'cx2', 'cy2', 'ax', 'ay')} <= {fl(r2)}"
+        + f" OR {og.seg_point_dist2('cx1', 'cy1', 'cx2', 'cy2', 'bx', 'by')} <= {fl(r2)}"
+        + f" OR {og.seg_point_dist2('ax', 'ay', 'bx', 'by', 'cx1', 'cy1')} <= {fl(r2)}"
+        + f" OR {og.seg_point_dist2('ax', 'ay', 'bx', 'by', 'cx2', 'cy2')} <= {fl(r2)}")
+    return f"""{name} AS (
+  SELECT DISTINCT s.osm_id
+  FROM seg_cells s JOIN coast_cells c USING (grid_id)
+  WHERE {within}
+)"""
+
+
+# --------------------------------------------------------------------- q46
+def _q46_sql() -> str:
+    from .operators import persona as P
+
+    fl = oracle.fl
+    setting = _setting_sql()
+    lenm = og.seg_len_m()
+    # --- degradation (q28 chain, prefixed) ----------------------------------
+    dtop = ", ".join(f"'{h}'" for h in W.DEGRADE_TOP_HW)
+    dbase = (f"CASE WHEN n_ways >= 4 THEN {fl(W.DEGRADE_RED['major'])} "
+             f"WHEN n_ways = 3 THEN {fl(W.DEGRADE_RED['three_way'])} "
+             f"ELSE {fl(W.DEGRADE_RED['crossing'])} END")
+    # --- pressure (q12) at the rep cell (q02) -------------------------------
+    ppc = W.PX_PER_CELL
+    pdr = f"LEAST(pop_sum / {fl(W.POP_SAT_CELL)}, {fl(1.0)})"
+    bur = f"LEAST(built_sum / {fl(W.BUILT_SAT_CELL)}, {fl(1.0)})"
+    pressure = f"({fl(1.0)} - ({fl(1.0)} - {pdr}) * ({fl(1.0)} - {bur}))"
+    cd = fl(W.CELL_DEG)
+    rep = (f"GREATEST(0, LEAST({W.NY - 1}, CAST(floor(lat / {cd}) AS BIGINT))) "
+           f"* {W.NX} "
+           f"+ GREATEST(0, LEAST({W.NX - 1}, CAST(floor(lon / {cd}) AS BIGINT)))")
+    # --- WorldCover buffer fractions (q45 chain, prefixed) ------------------
+    n, k = W.RASTER_PX, len(W.WCLASSES)
+    buf = fl(W.WC_BUF_PX / float(n))
+    step = fl(float(W.WC_SAMPLE_STEP_PX))
+    t = "(CAST(j AS DOUBLE) / CAST(m AS DOUBLE))"
+    wd2 = og.seg_point_dist2("ax", "ay", "bx", "by", "pcx", "pcy")
+    # --- shared formula stages ----------------------------------------------
+    bik = ", ".join(f"'{h}'" for h in W.BIKABLE)
+    first_int = ("COALESCE(CAST(NULLIF(regexp_extract(lanes, '([0-9]+)', 1), "
+                 "'') AS INT), 0)")
+    drv = ",\n         ".join(f"{e} AS {c}"
+                              for c, e in P.derived_exprs(fl).items())
+    par = ",\n         ".join(f"{e} AS {c}"
+                              for c, e in P.param_exprs(fl).items())
+    par2 = ",\n         ".join(f"{e} AS {c}"
+                               for c, e in P.param2_exprs(fl).items())
+    per = ",\n         ".join(f"{e} AS {c}"
+                              for c, e in P.persona_exprs(fl).items())
+    bounds = ", ".join(f"MIN({c}) AS {c}_mn, MAX({c}) AS {c}_mx"
+                       for c in P.PERSONA_COLS)
+    out_params = ",\n       ".join(
+        f"{P.quant(fl, c)} AS {c.replace('score_', '').replace('scenic_', '')}"
+        f"_micro" for c in P.PARAM_COLS)
+    out_pers = ",\n       ".join(f"{P.quant(fl, c)} AS {c}_micro"
+                                 for c in P.PERSONA_COLS)
+    out_norms = ",\n       ".join(
+        f"{P.quant(fl, P.norm_expr(fl, c, f'pb.{c}_mn', f'pb.{c}_mx'))} "
+        f"AS {c}_norm_micro" for c in P.PERSONA_COLS)
+    return f"""{oracle.with_world('segs', 'grid', 'verts', 'feat_edges')},
+{_hadj_sql_ctes()},
+{_cl_sql_ctes()},
+{_tw_sql_ctes()},
 dg_stats AS (
   SELECT node_id,
          COUNT(DISTINCT osm_id) AS n_ways,
@@ -2812,20 +2955,9 @@ pr AS (
   SELECT r.osm_id, p.pressure_micro
   FROM pr_rep r JOIN pr_press p USING (grid_id)
 ),
-lk AS (
-  SELECT DISTINCT osm_id FROM (
-    SELECT v.osm_id
-    FROM verts v
-    JOIN feats f ON f.is_poly AND f.layer = 'lakes'
-      AND v.lon >= f.cx - f.r AND v.lon <= f.cx + f.r
-      AND v.lat >= f.cy - f.r AND v.lat <= f.cy + f.r
-    JOIN feat_edges e ON e.feature_id = f.feature_id
-    GROUP BY v.osm_id, v.k, v.lon, v.lat, f.feature_id
-    HAVING SUM({cross}) % 2 = 1
-  )
-),
-{dist_hits('hl', 'hills_nodes', W.DIST_HILL_DEG)},
-{dist_hits('rv', 'rivers', W.DIST_RIVER_DEG)},
+{_pip_hits_cte('lk', 'lakes')},
+{_dist_hits_cte('hl', 'hills_nodes', W.DIST_HILL_DEG)},
+{_dist_hits_cte('rv', 'rivers', W.DIST_RIVER_DEG)},
 wc_sam AS (
   SELECT osm_id, ax, ay, bx, by,
          GREATEST(1, CAST(ceil((sqrt((bx - ax) * (bx - ax)
@@ -2876,14 +3008,7 @@ inraw AS (
   FROM (SELECT * FROM roads_base WHERE highway IN ({bik})) b
   LEFT JOIN h_per h USING (osm_id)
   LEFT JOIN cl_per c USING (osm_id)
-  LEFT JOIN (
-    SELECT r.osm_id,
-           CAST({twist.replace('tr.', 'tr2.').replace('tt.', 'tt2.')} AS BIGINT)
-             AS twist_permille
-    FROM roads_base r
-    LEFT JOIN tw_roll tr2 ON tr2.osm_id = r.osm_id
-    LEFT JOIN tw_tot tt2 ON tt2.osm_id = r.osm_id
-  ) tw_p USING (osm_id)
+  LEFT JOIN {_tw_permille_join()} tw_p USING (osm_id)
   LEFT JOIN dg USING (osm_id)
   LEFT JOIN pr USING (osm_id)
   LEFT JOIN hl ON hl.osm_id = b.osm_id
@@ -3502,52 +3627,12 @@ ORACLES["q52_geodesic_length"] = _q52_sql()
 # --------------------------------------------------------------------- q53
 def _q53_sql() -> str:
     fl = oracle.fl
-    W_ = W
-    n_, cd = W_.NX, fl(W_.CELL_DEG)
-    r = W_.BEACH_DIST_DEG
-    r2 = r * r
-    yk = (f"({fl(W_.COAST_Y_BASE)} + CAST((k * {W_.COAST_Y_MUL}) "
-          f"% {W_.COAST_Y_MOD} - {W_.COAST_Y_HALF} AS DOUBLE) "
-          f"/ {fl(W_.COAST_Y_DEN)})")
-    yk1 = (f"({fl(W_.COAST_Y_BASE)} + CAST(((k + 1) * {W_.COAST_Y_MUL}) "
-           f"% {W_.COAST_Y_MOD} - {W_.COAST_Y_HALF} AS DOUBLE) "
-           f"/ {fl(W_.COAST_Y_DEN)})")
-    within = (
-        og.seg_seg_intersect("ax", "ay", "bx", "by",
-                             "cx1", "cy1", "cx2", "cy2")
-        + f" OR {og.seg_point_dist2('cx1', 'cy1', 'cx2', 'cy2', 'ax', 'ay')} <= {fl(r2)}"
-        + f" OR {og.seg_point_dist2('cx1', 'cy1', 'cx2', 'cy2', 'bx', 'by')} <= {fl(r2)}"
-        + f" OR {og.seg_point_dist2('ax', 'ay', 'bx', 'by', 'cx1', 'cy1')} <= {fl(r2)}"
-        + f" OR {og.seg_point_dist2('ax', 'ay', 'bx', 'by', 'cx2', 'cy2')} <= {fl(r2)}")
-    semi = (f"(rep_lon >= {fl(W_.SEMI_LO)} AND rep_lon < {fl(W_.SEMI_HI)} "
-            f"AND rep_lat >= {fl(W_.SEMI_LO)} AND rep_lat < {fl(W_.SEMI_HI)})")
+    semi = (f"(rep_lon >= {fl(W.SEMI_LO)} AND rep_lon < {fl(W.SEMI_HI)} "
+            f"AND rep_lat >= {fl(W.SEMI_LO)} AND rep_lat < {fl(W.SEMI_HI)})")
     return f"""{oracle.with_world('verts', 'segs')},
-coast AS (
-  SELECT k,
-         CAST(k AS DOUBLE) / {fl(float(W_.COAST_N))} AS cx1, {yk} AS cy1,
-         CAST(k + 1 AS DOUBLE) / {fl(float(W_.COAST_N))} AS cx2, {yk1} AS cy2
-  FROM (SELECT unnest(generate_series(0, {W_.COAST_N - 1})) AS k)
-),
-coast_cells_i AS (
-  SELECT *, unnest(generate_series(i0, i1)) AS ci FROM (
-    SELECT *,
-      GREATEST(0, LEAST({n_ - 1}, CAST(floor((LEAST(cx1, cx2) - {fl(r)}) / {cd}) AS BIGINT))) AS i0,
-      GREATEST(0, LEAST({n_ - 1}, CAST(floor((GREATEST(cx1, cx2) + {fl(r)}) / {cd}) AS BIGINT))) AS i1,
-      GREATEST(0, LEAST({W_.NY - 1}, CAST(floor((LEAST(cy1, cy2) - {fl(r)}) / {cd}) AS BIGINT))) AS j0,
-      GREATEST(0, LEAST({W_.NY - 1}, CAST(floor((GREATEST(cy1, cy2) + {fl(r)}) / {cd}) AS BIGINT))) AS j1
-    FROM coast
-  )
-),
-coast_cells AS (
-  SELECT *, unnest(generate_series(j0, j1)) * {n_} + ci AS grid_id
-  FROM coast_cells_i
-),
+{_coast_sql_ctes()},
 {og.cand_cells_ctes('segs')},
-hits AS (
-  SELECT DISTINCT s.osm_id
-  FROM seg_cells s JOIN coast_cells c USING (grid_id)
-  WHERE {within}
-),
+{_coast_hits_cte('hits')},
 reps AS (
   SELECT osm_id, lon AS rep_lon, lat AS rep_lat FROM verts WHERE k = nv // 2
 )

@@ -347,21 +347,24 @@ DBSCAN_MINPTS = 3
 
 # Vector-tile materialization (sql/visualization/vis_persona_v2_normalised_
 # z10.sql:55 — ST_SimplifyPreserveTopology(geom, 0.0005)): per zoom,
-# (zoom, tiles_per_axis, total deviation tolerance in degrees, passes).
-# Simplification is tolerance-DRIVEN odd-parity decimation: each pass drops
-# an interior odd-indexed vertex iff its exact point-to-segment distance to
-# the chord of its two surviving neighbors is < tol/passes — so no two
-# consecutive vertices drop in a pass, every dropped vertex lies within
-# tol/passes of that pass's output line, and the total deviation of any
-# dropped vertex from the final line is < tol (the deviation bound
-# ST_SimplifyPreserveTopology guarantees), while endpoints are always kept
-# (topology at way ends survives).  Tolerances are exact binary fractions
-# scaled to this world's vertex jitter (interior chord deviations run
-# 0.001-0.004 deg; the reference's 0.0005 deg z10 tolerance is likewise a
-# small fraction of its typical vertex spacing), so the dist2 >= tol2
-# comparison is bit-identical in both engines and the decimation actually
-# discriminates: z6 drops most interior vertices, z10 only the straightest.
-ZOOMS = [(6, 16, 1.0 / 128.0, 2), (10, 64, 1.0 / 512.0, 1)]
+# (zoom, tiles_per_axis, global deviation tolerance in degrees).
+# Simplification is TRUE Douglas-Peucker with a single GLOBAL tolerance
+# against the ORIGINAL line (the ST_SimplifyPreserveTopology guarantee
+# shape, upgraded in round 4 from the per-pass deviation bound): start from
+# the endpoints, then repeatedly split every kept-vertex chord at its
+# max-deviation interior vertex while that deviation exceeds tol
+# (smallest-index tie-break).  Because nv <= NV_MAX = 8, NV_MAX - 2 = 6
+# fixpoint iterations are provably enough (each iteration either keeps a
+# vertex or converges), and the post-convergence iterations are idempotent,
+# so both engines run exactly the same fixed iteration count.  Tolerances
+# are exact binary fractions scaled to this world's vertex jitter (interior
+# chord deviations run 0.001-0.004 deg; the reference's 0.0005 deg z10
+# tolerance is likewise a small fraction of its typical vertex spacing), so
+# the dist2 > tol2 comparison is bit-identical in both engines and the
+# simplification actually discriminates: z6 drops most interior vertices,
+# z10 only the straightest.
+NV_MAX = 8                       # nv = 2 + (a % 7) above — max 8 vertices
+ZOOMS = [(6, 16, 1.0 / 128.0), (10, 64, 1.0 / 512.0)]
 
 
 def grid_class_bounds() -> tuple[float, float, float, float]:

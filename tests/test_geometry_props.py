@@ -97,3 +97,58 @@ def test_point_segment_distance_matches_reference(cases):
         cx, cy = row.ax + t * vx, row.ay + t * vy
         ref = (row.px - cx) ** 2 + (row.py - cy) ** 2
         assert row.d2 == pytest.approx(ref, rel=1e-9, abs=1e-15), str(row)
+
+
+def test_douglas_peucker_matches_recursive_reference(spark):
+    """The fixed-iteration kept-index fold in operators/tiles must equal a
+    textbook RECURSIVE Douglas-Peucker (global tolerance, strict >,
+    smallest-index tie-break) on random polylines of every length the world
+    can produce (2..NV_MAX vertices)."""
+    from osm_processing_pipeline_spark import worldspec as W
+    from osm_processing_pipeline_spark.operators import tiles
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for rid in range(300):
+        nv = int(rng.integers(2, W.NV_MAX + 1))
+        pts = rng.random((nv, 2)) * 0.01
+        rows.append((rid, [{"lon": float(x), "lat": float(y)} for x, y in pts]))
+    pdf = pd.DataFrame(rows, columns=["rid", "vertices"])
+    sdf = spark.createDataFrame(
+        pdf, "rid long, vertices array<struct<lon double, lat double>>")
+
+    tol = 1.0 / 512.0
+    df = sdf.withColumn(
+        "K", F.array(F.lit(0).cast("int"),
+                     (F.size("vertices") - 1).cast("int")))
+    for _ in range(W.NV_MAX - 2):
+        df = df.withColumn(
+            "K", tiles._dp_split_pass(F.col("vertices"), F.col("K"),
+                                      tol * tol))
+    got = {r["rid"]: list(r["K"]) for r in df.select("rid", "K").collect()}
+
+    def seg_d2(a, b, p):
+        vx, vy = b[0] - a[0], b[1] - a[1]
+        vv = vx * vx + vy * vy
+        t = 0.0 if vv == 0.0 else min(1.0, max(0.0, ((p[0] - a[0]) * vx + (p[1] - a[1]) * vy) / vv))
+        cx, cy = a[0] + t * vx, a[1] + t * vy
+        return (p[0] - cx) ** 2 + (p[1] - cy) ** 2
+
+    def dp(pts, lo, hi, keep):
+        if hi - lo <= 1:
+            return
+        best_d, best_i = -1.0, -1
+        for i in range(lo + 1, hi):
+            d = seg_d2(pts[lo], pts[hi], pts[i])
+            if d > best_d:
+                best_d, best_i = d, i
+        if best_d > tol * tol:
+            keep.add(best_i)
+            dp(pts, lo, best_i, keep)
+            dp(pts, best_i, hi, keep)
+
+    for rid, verts in rows:
+        pts = [(v["lon"], v["lat"]) for v in verts]
+        keep = {0, len(pts) - 1}
+        dp(pts, 0, len(pts) - 1, keep)
+        assert got[rid] == sorted(keep), f"rid={rid}: {got[rid]} vs {sorted(keep)}"
