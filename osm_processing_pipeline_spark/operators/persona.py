@@ -194,3 +194,124 @@ PARAM_COLS = ["score_urban_gate", "score_cruise_road", "score_offroad",
               "score_twist", "score_scenic_wild", "score_scenic_serene",
               "score_scenic_fast"]
 PERSONA_COLS = ["mm", "cc", "tb", "tt"]
+
+
+# ---------------------------------------------------------------- v1 simplified
+# The Phase-1 "simplified framework" (sql/road_persona/
+# 01_compute_persona_base_scores_simplified.sql): 2-3 factors per persona,
+# plain 0-1 factor scores, weighted averages, direct 0-100 scaling with an
+# Urban hard gate and a 25% SemiUrban penalty — no percentile normalization.
+# Inputs: road_type_i1 (the reference's OH slot is this engine's 'HW'),
+# lanes_n (parse_lanes — digits concatenated, NULL when none, :20-28),
+# twist_permille (never NULL here: the engine's twist pass covers every
+# road, so the reference's twist-IS-NULL fallbacks are unreachable),
+# road_setting, surface (this world's vocabulary hits the asphalt/paved/
+# concrete, gravel and dirt ladders; the paving-stone branch is kept for
+# formula parity but cannot fire), geo_len_um (geography-mode length,
+# stands in for ST_Length(geometry::geography), :82) and n_scenery
+# (count of the six road_scenery_* flags, :107-132).
+
+V1_SHORT_UM = 500_000_000    # 0.5 km in length micro-units (:82)
+
+
+def v1_factor_exprs(fl) -> dict[str, str]:
+    """Factors 1-8 (:36-146), one column each."""
+    tw = f"(CAST(twist_permille AS DOUBLE) / {fl(1000.0)})"
+    return {
+        # FACTOR 1 (:40-49) — road quality, lanes-aware highway ladder
+        "f_road_quality": (
+            f"CASE WHEN road_type_i1 NOT IN ('NH', 'SH', 'MDR', 'HW') THEN {fl(0.0)} "
+            f"WHEN road_type_i1 = 'NH' AND COALESCE(lanes_n, 0) >= 2 THEN {fl(1.0)} "
+            f"WHEN road_type_i1 = 'NH' THEN {fl(0.8)} "
+            f"WHEN road_type_i1 = 'SH' AND COALESCE(lanes_n, 0) >= 2 THEN {fl(0.7)} "
+            f"WHEN road_type_i1 = 'SH' THEN {fl(0.6)} "
+            f"WHEN COALESCE(lanes_n, 0) >= 2 THEN {fl(0.5)} "
+            f"ELSE {fl(0.4)} END"),
+        # FACTOR 2 (:54-57) — straightness, 0.20 twistiness cap
+        "f_straightness": (
+            f"GREATEST({fl(0.0)}, {fl(1.0)} - LEAST({fl(1.0)}, "
+            f"{tw} / {fl(0.20)}))"),
+        # FACTOR 3 (:62-67) — low stress by setting
+        "f_low_stress": (
+            f"CASE road_setting WHEN 'Rural' THEN {fl(1.0)} "
+            f"WHEN 'Semi_Urban' THEN {fl(0.6)} "
+            f"WHEN 'Urban' THEN {fl(0.2)} ELSE {fl(0.5)} END"),
+        # FACTOR 4 (:72-75) — twistiness, 0.15 saturation
+        "f_twistiness": f"LEAST({fl(1.0)}, {tw} / {fl(0.15)})",
+        # FACTOR 5 (:80-90) — surface quality, short+unknown penalized
+        "f_surface_quality": (
+            f"CASE WHEN surface IS NULL AND geo_len_um < {V1_SHORT_UM} "
+            f"THEN {fl(0.3)} "
+            f"WHEN surface IS NULL THEN {fl(0.5)} "
+            f"WHEN surface IN ('asphalt', 'paved', 'concrete') THEN {fl(1.0)} "
+            f"WHEN surface IN ('paving_stones', 'sett', 'cobblestone') THEN {fl(0.7)} "
+            f"WHEN surface IN ('compacted', 'fine_gravel', 'gravel') THEN {fl(0.4)} "
+            f"WHEN surface IN ('dirt', 'earth', 'ground', 'mud', 'sand', "
+            f"'unpaved') THEN {fl(0.1)} "
+            f"ELSE {fl(0.5)} END"),
+        # FACTOR 6 (:95-101) — exploration by road type
+        "f_exploration": (
+            f"CASE WHEN road_type_i1 IN ('Track', 'Path') THEN {fl(1.0)} "
+            f"WHEN road_type_i1 = 'WoH' THEN {fl(0.6)} "
+            f"WHEN road_type_i1 IN ('MDR', 'HW') THEN {fl(0.5)} "
+            f"WHEN road_type_i1 = 'SH' THEN {fl(0.3)} "
+            f"WHEN road_type_i1 = 'NH' THEN {fl(0.1)} "
+            f"WHEN road_type_i1 = 'HAdj' THEN {fl(0.2)} "
+            f"ELSE {fl(0.5)} END"),
+        # FACTOR 7 (:107-132) — scenery: >= 2 flags scale to n/3, 1 flag 0.3
+        "f_scenery": (
+            f"CASE WHEN n_scenery >= 2 "
+            f"THEN LEAST({fl(1.0)}, CAST(n_scenery AS DOUBLE) / {fl(3.0)}) "
+            f"WHEN n_scenery = 1 THEN {fl(0.3)} ELSE {fl(0.0)} END"),
+        # FACTOR 8 (:137-145) — moderate roads for TranquilTraveller
+        "f_moderate_roads": (
+            f"CASE WHEN road_type_i1 = 'WoH' THEN {fl(0.0)} "
+            f"WHEN road_type_i1 = 'NH' THEN {fl(0.3)} "
+            f"WHEN road_type_i1 IN ('MDR', 'SH', 'HW') THEN {fl(1.0)} "
+            f"WHEN road_type_i1 = 'HAdj' THEN {fl(0.4)} "
+            f"WHEN road_type_i1 IN ('Track', 'Path') THEN {fl(0.6)} "
+            f"ELSE {fl(0.5)} END"),
+    }
+
+
+def v1_raw_exprs(fl) -> dict[str, str]:
+    """Weighted combinations with the Urban hard gate (:162-213; the
+    weights follow the CODE, not the stale comments — e.g. MileMuncher is
+    0.60/0.20/0.20)."""
+    def gate(body: str) -> str:
+        return (f"CASE WHEN road_setting = 'Urban' THEN {fl(0.0)} "
+                f"ELSE ({body}) END")
+
+    return {
+        "v1_milemuncher": gate(
+            f"{fl(0.60)} * f_road_quality + {fl(0.20)} * f_straightness "
+            f"+ {fl(0.20)} * f_low_stress"),
+        "v1_cornercraver": gate(
+            f"{fl(0.40)} * f_twistiness + {fl(0.45)} * f_road_quality "
+            f"+ {fl(0.10)} * f_low_stress + {fl(0.05)} * f_surface_quality"),
+        "v1_trailblazer": gate(
+            f"{fl(0.50)} * f_exploration + {fl(0.25)} * f_scenery "
+            f"+ {fl(0.25)} * f_low_stress"),
+        "v1_tranquiltraveller": gate(
+            f"{fl(0.45)} * f_scenery + {fl(0.30)} * f_low_stress "
+            f"+ {fl(0.25)} * f_moderate_roads"),
+    }
+
+
+def v1_base_exprs(fl) -> dict[str, str]:
+    """Direct 0-100 scaling with the 25% SemiUrban reduction (:217-250)."""
+    def base(raw: str) -> str:
+        return (f"CASE WHEN road_setting = 'Semi_Urban' THEN "
+                f"LEAST({fl(100.0)}, GREATEST({fl(0.0)}, "
+                f"{raw} * {fl(100.0)} * {fl(0.75)})) "
+                f"ELSE LEAST({fl(100.0)}, GREATEST({fl(0.0)}, "
+                f"{raw} * {fl(100.0)})) END")
+
+    return {f"{c}_base": base(c) for c in V1_PERSONA_COLS}
+
+
+V1_FACTOR_COLS = ["f_road_quality", "f_straightness", "f_low_stress",
+                  "f_twistiness", "f_surface_quality", "f_exploration",
+                  "f_scenery", "f_moderate_roads"]
+V1_PERSONA_COLS = ["v1_milemuncher", "v1_cornercraver", "v1_trailblazer",
+                   "v1_tranquiltraveller"]

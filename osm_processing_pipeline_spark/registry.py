@@ -4054,6 +4054,222 @@ def q57_admin_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q57_admin_bounds"] = _q57_sql()
 
 
+# --------------------------------------------------------------------- q58
+def _q58_sql() -> str:
+    from .operators import persona as P
+
+    fl = oracle.fl
+    x0, y0, x1, y1 = W.V1_BBOX
+    bik = ", ".join(f"'{h}'" for h in W.BIKABLE)
+    semi = (f"(rep_lon >= {fl(W.SEMI_LO)} AND rep_lon < {fl(W.SEMI_HI)} "
+            f"AND rep_lat >= {fl(W.SEMI_LO)} AND rep_lat < {fl(W.SEMI_HI)})")
+    facs = ",\n         ".join(f"{e} AS {c}"
+                               for c, e in P.v1_factor_exprs(fl).items())
+    raws = ",\n         ".join(f"{e} AS {c}"
+                               for c, e in P.v1_raw_exprs(fl).items())
+    bases = ",\n         ".join(f"{e} AS {c}"
+                                for c, e in P.v1_base_exprs(fl).items())
+    out_facs = ",\n       ".join(
+        f"{P.quant(fl, c)} AS {c[2:]}_micro" for c in P.V1_FACTOR_COLS)
+    out_bases = ",\n       ".join(
+        f"{P.quant(fl, f'{c}_base')} AS {c.replace('v1_', '')}_base_micro"
+        for c in P.V1_PERSONA_COLS)
+    return f"""{oracle.with_world('verts', 'segs', 'grid', 'feat_edges')},
+{_hadj_sql_ctes()},
+{_cl_sql_ctes()},
+{_tw_sql_ctes()},
+{_coast_sql_ctes()},
+{_coast_hits_cte('bc')},
+{_pip_hits_cte('fo', 'forest')},
+{_pip_hits_cte('lk', 'lakes')},
+{_pip_hits_cte('fd', 'fields')},
+{_dist_hits_cte('hl', 'hills_nodes', W.DIST_HILL_DEG)},
+{_dist_hits_cte('rv', 'rivers', W.DIST_RIVER_DEG)},
+gl AS (
+  SELECT osm_id, SUM({og.quantize_um(og.seg_len_geo_m())}) AS geo_len_um
+  FROM segs GROUP BY osm_id
+),
+reps AS (
+  SELECT osm_id, lon AS rep_lon, lat AS rep_lat FROM verts WHERE k = nv // 2
+),
+bb AS (
+  SELECT osm_id FROM verts GROUP BY osm_id
+  HAVING MAX(lon) >= {fl(x0)} AND MIN(lon) <= {fl(x1)}
+     AND MAX(lat) >= {fl(y0)} AND MIN(lat) <= {fl(y1)}
+),
+inraw AS (
+  SELECT b.osm_id, b.highway, b.ref, b.lanes, b.surface,
+         COALESCE(h.hadj_upgrade, FALSE) AS hadj_upgrade,
+         {_setting_sql()} AS road_setting,
+         COALESCE(tw_p.twist_permille, 0) AS twist_permille,
+         COALESCE(gl.geo_len_um, 0) AS geo_len_um,
+         (CASE WHEN fo.osm_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN hl.osm_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN lk.osm_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN rv.osm_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN fd.osm_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN NOT {semi} AND bc.osm_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_scenery
+  FROM (SELECT * FROM roads_base WHERE highway IN ({bik})) b
+  JOIN bb USING (osm_id)
+  JOIN reps p USING (osm_id)
+  LEFT JOIN h_per h USING (osm_id)
+  LEFT JOIN cl_per c USING (osm_id)
+  LEFT JOIN {_tw_permille_join()} tw_p USING (osm_id)
+  LEFT JOIN gl USING (osm_id)
+  LEFT JOIN fo ON fo.osm_id = b.osm_id
+  LEFT JOIN lk ON lk.osm_id = b.osm_id
+  LEFT JOIN fd ON fd.osm_id = b.osm_id
+  LEFT JOIN hl ON hl.osm_id = b.osm_id
+  LEFT JOIN rv ON rv.osm_id = b.osm_id
+  LEFT JOIN bc ON bc.osm_id = b.osm_id
+),
+in58 AS (
+  SELECT osm_id,
+         {P.road_type_v2_expr()} AS road_type_i1,
+         CAST(NULLIF(regexp_replace(COALESCE(lanes, ''), '[^0-9]', '', 'g'),
+                     '') AS INT) AS lanes_n,
+         surface, road_setting, twist_permille, geo_len_um, n_scenery
+  FROM inraw
+),
+f58 AS (
+  SELECT *,
+         {facs}
+  FROM in58
+),
+r58 AS (
+  SELECT *,
+         {raws}
+  FROM f58
+),
+b58 AS (
+  SELECT *,
+         {bases}
+  FROM r58
+)
+SELECT osm_id, road_type_i1,
+       CAST(n_scenery AS BIGINT) AS n_scenery,
+       {out_facs},
+       {out_bases}
+FROM b58"""
+
+
+@register("q58_persona_v1_simplified", None)
+def q58_persona_v1_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Phase-1 'simplified' persona framework — the maintained v2
+    chain's predecessor, with its OWN scoring surface
+    (road_persona/01_compute_persona_base_scores_simplified.sql): the
+    parse_lanes plpgsql UDF (:20-28, digit-concat semantics), eight plain
+    0-1 factors (:36-146), weighted-average personas with the Urban hard
+    gate (:162-213, weights per the CODE not the comments), and direct
+    0-100 scaling with the 25% SemiUrban penalty (:217-250) — no global
+    normalization pass, unlike v2.  Restricted to the test bbox the script
+    itself runs on (:31, ST_MakeEnvelope analog W.V1_BBOX).
+
+    Scale shape: same proven subtrees as q46 (each one graded on its own);
+    the only new work is the formula ladder, pure Catalyst CASE
+    expressions.  The narrow (osm_id, cell) presence table is
+    localCheckpointed once for the two distance branches (the q44/q46
+    lesson); scenery flags are existence semi-joins, no pair distinct."""
+    from .functions import geometry as G
+    from .operators import persona as P
+
+    sfl = P.spark_fl
+    r = world.roads_materialized(spark, sf_dir)
+    s = world.segments(spark, sf_dir, r)
+    g = world.grids(spark)
+    wn = world.way_nodes(spark, sf_dir, r)
+    feats = world.features(spark, sf_dir)
+
+    lons = F.transform("vertices", lambda v: v["lon"])
+    lats = F.transform("vertices", lambda v: v["lat"])
+    x0, y0, x1, y1 = W.V1_BBOX
+    bbox_ok = ((F.array_max(lons) >= F.lit(x0)) & (F.array_min(lons) <= F.lit(x1))
+               & (F.array_max(lats) >= F.lit(y0)) & (F.array_min(lats) <= F.lit(y1)))
+    mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
+    rep = F.element_at("vertices", mid)
+    semi = ((rep["lon"] >= W.SEMI_LO) & (rep["lon"] < W.SEMI_HI)
+            & (rep["lat"] >= W.SEMI_LO) & (rep["lat"] < W.SEMI_HI))
+    bik = r.filter(F.col("highway").isin(W.BIKABLE) & bbox_ok) \
+           .select("osm_id", "highway", "ref", "lanes", "surface",
+                   (~semi).alias("rural"))
+
+    hadj = q09_endpoint_proximity_upgrade(spark, sf_dir) \
+        .select("osm_id", "hadj_upgrade")
+    setting = classify.classify_roads(r, s, g).select("osm_id", "road_setting")
+    tw = q08_curvature(spark, sf_dir).select("osm_id", "twist_permille")
+    geo = s.groupBy("osm_id").agg(
+        F.sum(G.quantize_len_um(G.seg_len_geo_m(
+            F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))))
+        .cast("long").alias("geo_len_um"))
+    wpts = wn.select(F.col("way_id").alias("osm_id"), "lon", "lat")
+
+    def pip_flag(layer: str, mark: str) -> DataFrame:
+        return (spatial_join.point_in_polygon_join(
+                    wpts, feats.filter(F.col("layer") == layer))
+                .select("osm_id").distinct().withColumn(mark, F.lit(1)))
+
+    forest = pip_flag("forest", "_forest")
+    lakes = pip_flag("lakes", "_lake")
+    fields = pip_flag("fields", "_field")
+    rcells = spatial_join.road_cells(s).localCheckpoint(eager=True)
+
+    def dist_flag(layer: str, dist: float, mark: str) -> DataFrame:
+        pts = feats.filter(F.col("layer") == layer) \
+                   .select("feature_id", "cx", "cy")
+        return (spatial_join.roads_within_distance(s, rcells, pts, dist)
+                .withColumn(mark, F.lit(1)))
+
+    hills = dist_flag("hills_nodes", W.DIST_HILL_DEG, "_hill")
+    rivers = dist_flag("rivers", W.DIST_RIVER_DEG, "_river")
+    coast = world.coastline_segments(spark)
+    beach = spatial_join.roads_within_line_distance(
+        s, coast, W.BEACH_DIST_DEG).withColumn("_coast", F.lit(1))
+
+    joined = (bik
+              .join(hadj, "osm_id", "left")
+              .join(setting, "osm_id", "left")
+              .join(tw, "osm_id", "left")
+              .join(geo, "osm_id", "left")
+              .join(forest, "osm_id", "left")
+              .join(lakes, "osm_id", "left")
+              .join(fields, "osm_id", "left")
+              .join(hills, "osm_id", "left")
+              .join(rivers, "osm_id", "left")
+              .join(beach, "osm_id", "left"))
+    flag = F.coalesce
+    n_scenery = (flag("_forest", F.lit(0)) + flag("_hill", F.lit(0))
+                 + flag("_lake", F.lit(0)) + flag("_river", F.lit(0))
+                 + flag("_field", F.lit(0))
+                 + F.when(F.col("rural") & F.col("_coast").isNotNull(), 1)
+                 .otherwise(0))
+    inputs = joined.select(
+        "osm_id", "surface",
+        F.expr(P.road_type_v2_expr()).alias("road_type_i1"),
+        F.expr("CAST(NULLIF(regexp_replace(COALESCE(lanes, ''), "
+               "'[^0-9]', ''), '') AS INT)").alias("lanes_n"),
+        F.coalesce("road_setting", F.lit("Rural")).alias("road_setting"),
+        F.coalesce("twist_permille", F.lit(0)).alias("twist_permille"),
+        F.coalesce("geo_len_um", F.lit(0)).alias("geo_len_um"),
+        n_scenery.alias("n_scenery"))
+    d = inputs
+    for stage in (P.v1_factor_exprs(sfl), P.v1_raw_exprs(sfl),
+                  P.v1_base_exprs(sfl)):
+        for cname, e in stage.items():
+            d = d.withColumn(cname, F.expr(e))
+    out_cols = [F.col("osm_id"), F.col("road_type_i1"),
+                F.col("n_scenery").cast("long").alias("n_scenery")]
+    for c in P.V1_FACTOR_COLS:
+        out_cols.append(F.expr(P.quant(sfl, c)).alias(f"{c[2:]}_micro"))
+    for c in P.V1_PERSONA_COLS:
+        out_cols.append(F.expr(P.quant(sfl, f"{c}_base"))
+                        .alias(f"{c.replace('v1_', '')}_base_micro"))
+    return d.select(*out_cols)
+
+
+ORACLES["q58_persona_v1_simplified"] = _q58_sql()
+
+
 # ---------------------------------------------------------------- ordering
 # Driver-cap hedge.  CORRECTNESS_r01 recorded rows for all 41 queries that
 # existed then; CORRECTNESS_r02 recorded rows for exactly the FIRST 50 of 51

@@ -376,6 +376,13 @@ def grid_class_bounds() -> tuple[float, float, float, float]:
 # dup/non-dup decision surface
 NEARDUP_COS_NANO = 420_000_000
 
+# Persona v1 "simplified" test bbox (01_compute_persona_base_scores_
+# simplified.sql:31 — ST_MakeEnvelope(76, 12, 78, 14): a central slice of
+# the country that includes urban area).  Mapped to this [0,1]^2 world as
+# the central half-envelope (covers the 0.5-0.5625 urban core so the Urban
+# hard gate actually fires); exact binary fractions.
+V1_BBOX = (0.25, 0.25, 0.75, 0.75)
+
 # ----------------------------------------- extra dispatch layers (round 4)
 # The Lua dispatcher fans ways/relations into 12+ tables; three had no
 # engine counterpart (VERDICT r3 missing #3): rs_shrub (natural = scrub/
