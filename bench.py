@@ -57,6 +57,10 @@ HEADLINE = [
     "q52_geodesic_length",
     "q53_beach_scenery",
     "q54_streaming_late_windows",
+    "q55_geo_dwithin",
+    "q56_mollweide_grid",
+    "q57_admin_bounds",
+    "q58_persona_v1_simplified",
 ]
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")

@@ -108,8 +108,15 @@ def point_in_poly(px: Column, py: Column, edges: Column) -> Column:
     """Crossing-number point-in-polygon over an ``array<struct<x1,y1,x2,y2>>``
     edge list (half-open ray rule).  Division is guarded by the crossing test
     (y2 != y1 whenever the edge straddles py), so the expression is total.
-    Evaluated entirely inside whole-stage codegen via the ``aggregate``
-    higher-order function."""
+
+    NEGATIVE RESULT (round 4, measured): unrolling the edge loop over the
+    statically-known pentagon count (element_at(edges, k) x 5, plain
+    codegen-able terms) is 8.5x SLOWER than this aggregate() HOF as the
+    PIP join's post-join predicate (same-process A/B at sf0.1, both
+    orders: unrolled 17.1-17.3 s vs HOF 1.9-2.4 s).  The unrolled
+    predicate gets folded into the BroadcastHashJoin condition and its
+    codegen'd form re-extracts the edge array per term; the HOF evaluates
+    interpreted but walks the UnsafeArrayData once.  Keep the HOF."""
     crossings = F.aggregate(
         edges,
         F.lit(0),

@@ -3785,11 +3785,16 @@ def q55_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     conservatively widened by 1/GEO_COS_FLOOR for the anisotropic metric)
     equi-joined to segment cell covers, exact refine, then ONE shuffle
     keyed on uniform osm_id.  Unlike the existence-only q04 flag, min
-    distance needs the exact kernel on every candidate pair, so there is
-    deliberately no full-cover shortcut; duplicate (segment, feature)
-    candidates from shared cells are absorbed by COUNT(DISTINCT)/MIN
-    rather than a pair distinct (the q17 first-owner lesson: never pay a
-    global distinct when the aggregate is idempotent)."""
+    distance needs the exact kernel on every candidate pair — and the
+    kernel must run inside the (osm_id, feature_id) AGGREGATE, not a
+    post-join filter: a filter referencing both sides is folded into the
+    hash join's condition, where the big cos-lat tree evaluates INTERPRETED
+    per candidate (measured 128 s at sf0.1); as min(d2)'s input it stays in
+    whole-stage codegen (3-7 s).  The per-pair min also absorbs duplicate
+    shared-cell candidates, so COUNT(DISTINCT) collapses to a plain count,
+    and min(floor(sqrt(d2)*1000)) = floor(sqrt(min d2)*1000) because floor
+    and a correctly-rounded sqrt are monotone — values identical to the
+    oracle's per-candidate form."""
     from .functions import cells
     from .functions import geometry as G
 
@@ -3807,14 +3812,14 @@ def q55_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = G.seg_point_geo_dist2_m2(F.col("ax"), F.col("ay"), F.col("bx"),
                                   F.col("by"), F.col("cx"), F.col("cy"))
     r2 = F.lit(W.GEO_DWITHIN_M * W.GEO_DWITHIN_M)
-    cand = (scov.join(fcov, "_cell")
-            .filter(d2 <= r2)
-            .select("osm_id", "feature_id",
-                    F.floor(F.sqrt(d2) * F.lit(1000.0)).cast("long")
-                    .alias("dist_mm")))
-    return cand.groupBy("osm_id").agg(
-        F.countDistinct("feature_id").cast("long").alias("n_geo_hills"),
-        F.min("dist_mm").alias("min_geo_mm"))
+    per_pair = (scov.join(fcov, "_cell")
+                .groupBy("osm_id", "feature_id")
+                .agg(F.min(d2).alias("_d2")))
+    return (per_pair.filter(F.col("_d2") <= r2)
+            .groupBy("osm_id").agg(
+                F.count("*").cast("long").alias("n_geo_hills"),
+                F.min(F.floor(F.sqrt(F.col("_d2")) * F.lit(1000.0))
+                      .cast("long")).alias("min_geo_mm")))
 
 
 ORACLES["q55_geo_dwithin"] = _q55_sql()

@@ -99,9 +99,9 @@ def test_point_segment_distance_matches_reference(cases):
         assert row.d2 == pytest.approx(ref, rel=1e-9, abs=1e-15), str(row)
 
 
-def test_douglas_peucker_matches_recursive_reference(spark):
-    """The fixed-iteration kept-index fold in operators/tiles must equal a
-    textbook RECURSIVE Douglas-Peucker (global tolerance, strict >,
+def test_douglas_peucker_matches_recursive_reference():
+    """The fixed-iteration vectorized DP kernel in operators/tiles must
+    equal a textbook RECURSIVE Douglas-Peucker (global tolerance, strict >,
     smallest-index tie-break) on random polylines of every length the world
     can produce (2..NV_MAX vertices)."""
     from osm_processing_pipeline_spark import worldspec as W
@@ -113,19 +113,18 @@ def test_douglas_peucker_matches_recursive_reference(spark):
         nv = int(rng.integers(2, W.NV_MAX + 1))
         pts = rng.random((nv, 2)) * 0.01
         rows.append((rid, [{"lon": float(x), "lat": float(y)} for x, y in pts]))
-    pdf = pd.DataFrame(rows, columns=["rid", "vertices"])
-    sdf = spark.createDataFrame(
-        pdf, "rid long, vertices array<struct<lon double, lat double>>")
 
     tol = 1.0 / 512.0
-    df = sdf.withColumn(
-        "K", F.array(F.lit(0).cast("int"),
-                     (F.size("vertices") - 1).cast("int")))
-    for _ in range(W.NV_MAX - 2):
-        df = df.withColumn(
-            "K", tiles._dp_split_pass(F.col("vertices"), F.col("K"),
-                                      tol * tol))
-    got = {r["rid"]: list(r["K"]) for r in df.select("rid", "K").collect()}
+    N = len(rows)
+    nvs = np.array([len(v) for _, v in rows], np.int64)
+    X = np.zeros((N, W.NV_MAX))
+    Y = np.zeros((N, W.NV_MAX))
+    for i, (_rid, verts) in enumerate(rows):
+        for j, v in enumerate(verts):
+            X[i, j] = v["lon"]
+            Y[i, j] = v["lat"]
+    kept = tiles.dp_keep_mask(X, Y, nvs, tol * tol)
+    got = {rows[i][0]: list(np.nonzero(kept[i])[0]) for i in range(N)}
 
     def seg_d2(a, b, p):
         vx, vy = b[0] - a[0], b[1] - a[1]
