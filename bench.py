@@ -118,6 +118,9 @@ def run_suite(emit=print) -> dict:
         "docs": n_docs,
         "cpus": CPUS,
         "suite_wall_s": round(sum(timings.values()), 2),
+        # ambient co-tenant load (shared VM; identical runs swing 3-8x) —
+        # 1/5/15-min loadavg at suite end, for artifact provenance
+        "loadavg": list(os.getloadavg()),
     }
     spark.stop()
     return out
