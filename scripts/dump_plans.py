@@ -139,11 +139,22 @@ def main() -> None:
         "whole-stage codegen.",
         zonal.buffer_class_histogram(s))
 
-    add("q32 tolerance-driven simplification",
-        "Deviation-bounded decimation is pure array higher-order functions "
-        "(exact seg-point kernel inside filter lambdas) — zero joins, zero "
-        "shuffles before the per-zoom union.",
+    add("q32 global-tolerance Douglas-Peucker",
+        "True DP (global tolerance vs the ORIGINAL line) runs as ONE "
+        "vectorized Arrow kernel over padded (N, NV_MAX) coordinate arrays "
+        "— both zooms per pass, zero joins, zero shuffles before the "
+        "per-zoom union.  The Catalyst-HOF phrasing of the same algorithm "
+        "is CodegenFallback and measured 60 s at sf0.1 vs 1.7 s here.",
         registry.QUERIES["q32_vector_tiles"](spark, SF))
+
+    add("q55 geography-mode DWithin (kernel inside the aggregate)",
+        "The exact cos-lat metre kernel evaluates INSIDE "
+        "groupBy(osm_id, feature_id).agg(min(d2)) — as a post-join filter "
+        "it is folded into the hash-join condition and runs interpreted "
+        "per candidate (measured 128 s at sf0.1 vs 3 s here); the "
+        "pair-level min also absorbs duplicate shared-cell candidates so "
+        "COUNT(DISTINCT) collapses to a plain count.",
+        registry.QUERIES["q55_geo_dwithin"](spark, SF))
 
     add("q53 beach scenery (line-to-line DWithin)",
         "The coastline is an O(1)-size dimension: its radius-expanded cell "
