@@ -167,7 +167,10 @@ def vector_tiles(roads: DataFrame) -> DataFrame:
     Both zooms' DP runs happen in ONE Arrow kernel pass over the roads (no
     shuffle anywhere — tile assignment is arithmetic on the echoed rep
     point); the per-zoom rows are a cheap union of projections over the
-    kernel output."""
+    kernel output.  The kernel output is localCheckpointed because BOTH
+    union branches consume it — without the barrier each branch re-runs
+    the Arrow pass (the q44/q46 narrow-table lesson; A/B at sf0.1:
+    2.0-2.6 s -> 1.2-1.5 s)."""
     mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
     rep = F.element_at("vertices", mid)
     base = roads.select(
@@ -175,7 +178,8 @@ def vector_tiles(roads: DataFrame) -> DataFrame:
         F.expr("transform(vertices, v -> v.lon)").alias("lons"),
         F.expr("transform(vertices, v -> v.lat)").alias("lats"),
         rep["lon"].alias("rep_lon"), rep["lat"].alias("rep_lat"))
-    ker = base.mapInPandas(_dp_tiles_batches, schema=_dp_tiles_schema())
+    ker = base.mapInPandas(_dp_tiles_batches, schema=_dp_tiles_schema()) \
+              .localCheckpoint(eager=True)
     outs = []
     for zi, (zoom, t, _tol) in enumerate(W.ZOOMS):
         tx = F.greatest(L(0), F.least(L(t - 1),

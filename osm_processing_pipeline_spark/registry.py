@@ -4209,14 +4209,15 @@ def q58_persona_v1_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("geo_len_um"))
     wpts = wn.select(F.col("way_id").alias("osm_id"), "lon", "lat")
 
-    def pip_flag(layer: str, mark: str) -> DataFrame:
-        return (spatial_join.point_in_polygon_join(
-                    wpts, feats.filter(F.col("layer") == layer))
-                .select("osm_id").distinct().withColumn(mark, F.lit(1)))
-
-    forest = pip_flag("forest", "_forest")
-    lakes = pip_flag("lakes", "_lake")
-    fields = pip_flag("fields", "_field")
+    # ONE PIP join over all three polygon layers, pivoted to flags in the
+    # per-road aggregate (the q03 shape) — three separate layer joins would
+    # re-explode the 4x-larger way_nodes side three times
+    pip = spatial_join.point_in_polygon_join(
+        wpts, feats.filter(F.col("layer").isin("forest", "lakes", "fields")))
+    pflags = pip.groupBy("osm_id").agg(
+        F.max(F.when(F.col("layer") == "forest", 1).otherwise(0)).alias("_forest"),
+        F.max(F.when(F.col("layer") == "lakes", 1).otherwise(0)).alias("_lake"),
+        F.max(F.when(F.col("layer") == "fields", 1).otherwise(0)).alias("_field"))
     rcells = spatial_join.road_cells(s).localCheckpoint(eager=True)
 
     def dist_flag(layer: str, dist: float, mark: str) -> DataFrame:
@@ -4236,9 +4237,7 @@ def q58_persona_v1_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(setting, "osm_id", "left")
               .join(tw, "osm_id", "left")
               .join(geo, "osm_id", "left")
-              .join(forest, "osm_id", "left")
-              .join(lakes, "osm_id", "left")
-              .join(fields, "osm_id", "left")
+              .join(pflags, "osm_id", "left")
               .join(hills, "osm_id", "left")
               .join(rivers, "osm_id", "left")
               .join(beach, "osm_id", "left"))
