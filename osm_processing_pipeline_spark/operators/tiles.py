@@ -70,7 +70,11 @@ def dp_keep_mask(X, Y, nv, tol2: float):
     This is the production path: the same algorithm phrased as Catalyst
     array higher-order functions is CodegenFallback (every transform/
     aggregate lambda evaluates interpreted) and measured 60 s at sf0.1 for
-    the two-zoom suite; this Arrow kernel runs it in ~1 s."""
+    the two-zoom suite; this Arrow kernel runs it in ~1 s.
+
+    NV (the padded width) adapts to the batch's longest way, so inputs
+    beyond this world's NV_MAX still simplify correctly — the iteration
+    count NV - 2 remains the worst-case DP depth for NV vertices."""
     N, NV = X.shape
     idx = np.arange(NV)
     kept = np.zeros((N, NV), bool)
@@ -114,7 +118,6 @@ def _dp_tiles_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     kept vertices, exact-quantized int64 micrometre sum — the identical
     seg_len_m operand tree as the oracle's LAG-based sum)."""
     M = W.M_PER_DEG
-    NV = W.NV_MAX
     for pdf in it:
         if len(pdf) == 0:
             continue
@@ -122,6 +125,9 @@ def _dp_tiles_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lon_lists = pdf["lons"].to_numpy(object)
         lat_lists = pdf["lats"].to_numpy(object)
         nv = np.fromiter((len(x) for x in lon_lists), np.int64, N)
+        # pad to the batch max so ways longer than this world's NV_MAX
+        # still simplify correctly at other scales
+        NV = max(W.NV_MAX, int(nv.max()))
         flat_lon = np.concatenate(lon_lists).astype(np.float64)
         flat_lat = np.concatenate(lat_lists).astype(np.float64)
         rows = np.repeat(np.arange(N), nv)

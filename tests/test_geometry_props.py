@@ -113,12 +113,19 @@ def test_douglas_peucker_matches_recursive_reference():
         nv = int(rng.integers(2, W.NV_MAX + 1))
         pts = rng.random((nv, 2)) * 0.01
         rows.append((rid, [{"lon": float(x), "lat": float(y)} for x, y in pts]))
+    # beyond this world's NV_MAX: the kernel pads to the batch max, so
+    # longer ways (other scales / other worlds) must simplify correctly too
+    for rid in range(300, 340):
+        nv = int(rng.integers(W.NV_MAX + 1, 25))
+        pts = rng.random((nv, 2)) * 0.01
+        rows.append((rid, [{"lon": float(x), "lat": float(y)} for x, y in pts]))
 
     tol = 1.0 / 512.0
     N = len(rows)
     nvs = np.array([len(v) for _, v in rows], np.int64)
-    X = np.zeros((N, W.NV_MAX))
-    Y = np.zeros((N, W.NV_MAX))
+    width = max(W.NV_MAX, int(nvs.max()))
+    X = np.zeros((N, width))
+    Y = np.zeros((N, width))
     for i, (_rid, verts) in enumerate(rows):
         for j, v in enumerate(verts):
             X[i, j] = v["lon"]
