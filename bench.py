@@ -228,6 +228,11 @@ def run_scaling(levels=(1, 4), curve=(1, 2, 4, 8, 16, 32)) -> dict:
     return summary
 
 
+# Everything after this line in BENCH.md is hand-curated and must survive
+# --scaling rewrites (ADVICE r4: heading-marker splice was fragile).
+SENTINEL = "<!-- generated-head-end -->"
+
+
 def write_bench_md(summary: dict, suite: dict | None = None) -> None:
     lo, hi = summary["levels"]
     r = summary["results"]
@@ -289,17 +294,29 @@ def write_bench_md(summary: dict, suite: dict | None = None) -> None:
             "",
         ]
     # Rewrite ONLY the generated head (scaling + per-query tables); preserve
-    # every hand-curated section from '## Round-' onward — a --scaling run
-    # must not clobber the round notes / sf1 rehearsal evidence.
+    # every hand-curated section after the explicit sentinel — a --scaling
+    # run must not clobber the round notes / sf1 rehearsal evidence.  The
+    # sentinel is primary so renaming headings can't silently lose the tail;
+    # heading markers remain as a warned fallback.
     path = os.path.join(os.path.dirname(__file__) or ".", "BENCH.md")
+    lines += [SENTINEL, ""]
     tail = ""
     try:
         old = open(path).read()
-        for marker in ("## Per-query latency", "## Round-", "## sf1 "):
-            i = old.find(marker)
-            if i != -1:
-                tail = old[i:]
-                break
+        i = old.find(SENTINEL)
+        if i != -1:
+            tail = old[i + len(SENTINEL):].lstrip("\n")
+        else:
+            print(f"bench: BENCH.md sentinel {SENTINEL!r} missing; "
+                  "falling back to heading markers", file=sys.stderr)
+            for marker in ("## Per-query latency", "## Round-", "## sf1 "):
+                i = old.find(marker)
+                if i != -1:
+                    tail = old[i:]
+                    break
+            else:
+                print("bench: no curated-tail marker found either — "
+                      "curated sections will be LOST", file=sys.stderr)
     except OSError:
         pass
     with open(path, "w") as f:

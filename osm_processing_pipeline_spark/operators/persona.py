@@ -238,16 +238,22 @@ def v1_factor_exprs(fl) -> dict[str, str]:
             f"WHEN 'Urban' THEN {fl(0.2)} ELSE {fl(0.5)} END"),
         # FACTOR 4 (:72-75) — twistiness, 0.15 saturation
         "f_twistiness": f"LEAST({fl(1.0)}, {tw} / {fl(0.15)})",
-        # FACTOR 5 (:80-90) — surface quality, short+unknown penalized
+        # FACTOR 5 (:80-90) — surface quality, short+unknown penalized.
+        # Value list and LOWER() normalization mirror the reference verbatim
+        # (:82-87, incl. 'concrete:lanes'/'concrete:plates') — identical on
+        # this world's lowercase surface vocabulary, faithful beyond it.
         "f_surface_quality": (
             f"CASE WHEN surface IS NULL AND geo_len_um < {V1_SHORT_UM} "
             f"THEN {fl(0.3)} "
             f"WHEN surface IS NULL THEN {fl(0.5)} "
-            f"WHEN surface IN ('asphalt', 'paved', 'concrete') THEN {fl(1.0)} "
-            f"WHEN surface IN ('paving_stones', 'sett', 'cobblestone') THEN {fl(0.7)} "
-            f"WHEN surface IN ('compacted', 'fine_gravel', 'gravel') THEN {fl(0.4)} "
-            f"WHEN surface IN ('dirt', 'earth', 'ground', 'mud', 'sand', "
-            f"'unpaved') THEN {fl(0.1)} "
+            f"WHEN LOWER(surface) IN ('asphalt', 'paved', 'concrete', "
+            f"'concrete:lanes', 'concrete:plates') THEN {fl(1.0)} "
+            f"WHEN LOWER(surface) IN ('paving_stones', 'sett', "
+            f"'cobblestone') THEN {fl(0.7)} "
+            f"WHEN LOWER(surface) IN ('compacted', 'fine_gravel', 'gravel') "
+            f"THEN {fl(0.4)} "
+            f"WHEN LOWER(surface) IN ('dirt', 'earth', 'ground', 'mud', "
+            f"'sand', 'unpaved') THEN {fl(0.1)} "
             f"ELSE {fl(0.5)} END"),
         # FACTOR 6 (:95-101) — exploration by road type
         "f_exploration": (

@@ -78,8 +78,12 @@ def dp_keep_mask(X, Y, nv, tol2: float):
     N, NV = X.shape
     idx = np.arange(NV)
     kept = np.zeros((N, NV), bool)
-    kept[:, 0] = True
-    kept[np.arange(N), nv - 1] = True
+    # degenerate ways: nv == 0 keeps nothing (kept[:, nv-1] would wrap to
+    # the last padded column, a phantom vertex); nv == 1 keeps the single
+    # vertex via the endpoint double-set below
+    live = np.nonzero(nv >= 1)[0]
+    kept[live, 0] = True
+    kept[live, nv[live] - 1] = True
     for _ in range(NV - 2):
         K = np.where(kept, idx[None, :], -1)
         p = np.maximum.accumulate(K, axis=1)          # last kept <= j

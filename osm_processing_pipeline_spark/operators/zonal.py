@@ -24,8 +24,18 @@ from ..functions import geometry as G
 from ..sources.raster import decode_band
 
 
+def _tile_count(tiles: DataFrame, n_tiles: int | None) -> int:
+    """Actual tile count of the raster input.  Callers may pass it when they
+    already know it; otherwise it is derived from the DataFrame itself — a
+    metadata-only count on the parquet tile table — so the broadcast/shuffle
+    and partition-count gates below reflect the real input, not the fixed
+    world raster (ADVICE r4: both registry call sites omitted the parameter,
+    so a genuinely larger raster would still have broadcast)."""
+    return n_tiles if n_tiles is not None else tiles.count()
+
+
 def zonal_cell_sums(tiles: DataFrame, partitions: int | None = None,
-                    n_tiles: int = W.N_TILES * W.N_TILES) -> DataFrame:
+                    n_tiles: int | None = None) -> DataFrame:
     """(grid_id, pop_sum, built_sum) — per-grid-cell band sums from binary
     tiles.  No shuffle: each tile maps to exactly its 4 cells."""
     cpt = W.TILE_PX // W.PX_PER_CELL       # cells per tile edge (2)
@@ -35,7 +45,7 @@ def zonal_cell_sums(tiles: DataFrame, partitions: int | None = None,
         # must grow with the raster: one task per ~512 tiles, floored at 8,
         # capped at the cluster's parallelism
         dp = tiles.sparkSession.sparkContext.defaultParallelism
-        partitions = max(8, min(dp, n_tiles // 512))
+        partitions = max(8, min(dp, _tile_count(tiles, n_tiles) // 512))
 
     def kernel(batches):
         for pdf in batches:
@@ -99,7 +109,7 @@ BROADCAST_PIXEL_MAX = 1 << 21
 
 def sample_points(tiles: DataFrame, pts: DataFrame,
                   with_built: bool = False,
-                  n_tiles: int = W.N_TILES * W.N_TILES) -> DataFrame:
+                  n_tiles: int | None = None) -> DataFrame:
     """ST_Value(rast, point): pts(osm_id, lon, lat) -> (osm_id, pop_value
     [, built_value]).
 
@@ -116,7 +126,8 @@ def sample_points(tiles: DataFrame, pts: DataFrame,
     co-partitioned on pid automatically — the 100 TB path needs no edit.
     ``with_built`` gathers the second band in the same pass (the hill chain
     samples its DEM-relief and slope rasters at the same points,
-    hill_v2/03_compute_slope_metrics.sql:20-57)."""
+    hill_v2/03_compute_slope_metrics.sql:20-57).  ``n_tiles`` defaults to
+    the ACTUAL tile count of the input (see ``_tile_count``)."""
     px = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
                                       F.floor(F.col("lon") * W.RASTER_PX).cast("long")))
     py = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
@@ -124,7 +135,7 @@ def sample_points(tiles: DataFrame, pts: DataFrame,
     keyed = pts.select("osm_id", (py * W.RASTER_PX + px).alias("pid"))
     cols = ["pid", "pop_value"] + (["built_value"] if with_built else [])
     pix = raster_pixels(tiles).select(*cols)
-    if n_tiles * W.TILE_PX * W.TILE_PX <= BROADCAST_PIXEL_MAX:
+    if _tile_count(tiles, n_tiles) * W.TILE_PX * W.TILE_PX <= BROADCAST_PIXEL_MAX:
         pix = F.broadcast(pix)
     else:
         # pixel side has no Catalyst stats (mapInPandas output), so pin the

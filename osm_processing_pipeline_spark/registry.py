@@ -528,20 +528,27 @@ LEFT JOIN roll o USING (osm_id)
 LEFT JOIN tot t USING (osm_id)"""
 
 
-@register("q08_curvature", None)
-def q08_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/W1/W2 + conflict suppression: per-way curvature rollup through the
-    vectorized Arrow kernel (mapInPandas over nested vertex arrays — no
-    shuffle; flat-vectorized numpy, no per-row Python)."""
+def _curvature_rollup(roads: DataFrame) -> DataFrame:
+    """Per-way curvature rollup over an arbitrary road set — per-road
+    independent (pure mapInPandas, no shuffle), so callers may pre-filter
+    the roads without changing any surviving row (q58's bbox pushdown)."""
     from .functions.curvature_kernel import OUT_SCHEMA, curvature_map_batches
 
-    r = world.roads_materialized(spark, sf_dir).select(
+    r = roads.select(
         "osm_id",
         F.expr("transform(vertices, v -> v.lon)").alias("lons"),
         F.expr("transform(vertices, v -> v.lat)").alias("lats"),
         F.expr("transform(vertices, v -> v.node_id)").alias("node_ids"),
     )
     return r.mapInPandas(curvature_map_batches, schema=OUT_SCHEMA)
+
+
+@register("q08_curvature", None)
+def q08_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W1/W2 + conflict suppression: per-way curvature rollup through the
+    vectorized Arrow kernel (mapInPandas over nested vertex arrays — no
+    shuffle; flat-vectorized numpy, no per-row Python)."""
+    return _curvature_rollup(world.roads_materialized(spark, sf_dir))
 
 
 ORACLES["q08_curvature"] = _q08_sql()
@@ -585,35 +592,46 @@ SELECT r.osm_id,
 FROM roads_base r LEFT JOIN per_road p USING (osm_id)"""
 
 
-@register("q09_endpoint_proximity_upgrade", None)
-def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9: HAdj upgrade — both road endpoints within d of an NH/SH/MDR road's
-    vertices (07_assign_final_road_classification.sql:63-97).
+def _endpoint_proximity_upgrade(r: DataFrame, cand: DataFrame,
+                                hw_window: tuple | None = None) -> DataFrame:
+    """J9 core over an explicit (highway-source, candidate) pair: ``r``
+    supplies the NH/SH/MDR vertex positions (semantically GLOBAL — an
+    out-of-scope highway can still upgrade an in-scope road), ``cand`` the
+    roads whose endpoints are tested.  Per-candidate results depend only on
+    the candidate's own endpoints vs the global highway set, so filtering
+    ``cand`` is exactness-preserving (q58's bbox pushdown).
 
-    The join keys on a RADIUS-SIZED micro-grid (d = 1/512 deg exactly, so a
-    512x512 grid), not the 128x128 tiling cells: with a radius of 1/4 cell,
-    keying on full cells makes the dense urban core quadratic (tens of
-    thousands of highway vertices x thousands of endpoints per hot cell —
-    measured 41 s at sf0.1); radius-sized keys bound each bucket's density
-    by the true collision neighborhood and the same join runs in ~1 s.
-    Highway vertices take the 3x3 micro-ring (completeness: any point within
-    d is inside the ring, clamped consistently at the world border); the
-    exact d^2 refine is unchanged.
-
-    The highway side is further deduped to DISTINCT POSITIONS carrying two
-    owner witnesses (min/max h_osm): coordinates are quantized (1/2048), so
-    the urban core piles ~17 coincident vertices per position — the dedup
-    shrinks the join fan-out by that factor, and "some owner != this road"
-    is exactly (min_h != osm OR max_h != osm)."""
+    ``hw_window`` (x0, y0, x1, y1), when given, is a caller-guaranteed
+    cover of ALL candidate endpoints expanded by the match radius d: a
+    highway vertex outside it is > d from every endpoint, so dropping it
+    (and any road whose whole vertex envelope misses the window) cannot
+    change a match.  Positions are dropped whole, never per-owner, so the
+    min/max owner witnesses of every kept position are unchanged —
+    exactness-preserving by construction."""
     from .functions import geometry as G
 
-    r = world.roads_materialized(spark, sf_dir)
     up = F.upper(F.col("ref"))
-    hn = (
-        r.filter(F.col("ref").isNotNull()
-                 & (up.contains("NH") | up.contains("SH") | up.contains("MDR")))
+    hw_src = r.filter(F.col("ref").isNotNull()
+                      & (up.contains("NH") | up.contains("SH")
+                         | up.contains("MDR")))
+    if hw_window is not None:
+        wx0, wy0, wx1, wy1 = hw_window
+        hlons = F.transform("vertices", lambda v: v["lon"])
+        hlats = F.transform("vertices", lambda v: v["lat"])
+        hw_src = hw_src.filter(
+            (F.array_max(hlons) >= F.lit(wx0)) & (F.array_min(hlons) <= F.lit(wx1))
+            & (F.array_max(hlats) >= F.lit(wy0)) & (F.array_min(hlats) <= F.lit(wy1)))
+    hverts = (
+        hw_src
         .select(F.col("osm_id").alias("h_osm"), F.explode("vertices").alias("v"))
         .select("h_osm", F.col("v.lon").alias("hlon"), F.col("v.lat").alias("hlat"))
+    )
+    if hw_window is not None:
+        hverts = hverts.filter(
+            (F.col("hlon") >= F.lit(wx0)) & (F.col("hlon") <= F.lit(wx1))
+            & (F.col("hlat") >= F.lit(wy0)) & (F.col("hlat") <= F.lit(wy1)))
+    hn = (
+        hverts
         .groupBy("hlon", "hlat")
         .agg(F.min("h_osm").alias("hmin"), F.max("h_osm").alias("hmax"))
     )
@@ -637,7 +655,7 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
                 (hj + dj) * M + (hi + di)))))
     hn_cov = hn.withColumn(
         "_mcell", F.explode(F.filter(ring, lambda c: c.isNotNull())))
-    eps = r.select(
+    eps = cand.select(
         "osm_id",
         F.explode(F.array(
             F.struct(F.lit(0).alias("ep"),
@@ -650,22 +668,46 @@ def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("osm_id", "e.ep", "e.lon", "e.lat")
     ei, ej = micro(F.col("lon"), F.col("lat"))
     eps = eps.withColumn("_mcell", ej * M + ei)
-    cand = eps.join(hn_cov, "_mcell").filter(
+    pairs = eps.join(hn_cov, "_mcell").filter(
         (F.col("hmin") != F.col("osm_id")) | (F.col("hmax") != F.col("osm_id")))
     d2 = G.point_dist2_deg(F.col("lon"), F.col("lat"), F.col("hlon"), F.col("hlat"))
     # no distinct before the rollup: max() is idempotent over duplicate
     # (osm_id, ep) matches and the partial aggregate dedups map-side, so the
     # explicit distinct only added a second exchange
-    matches = cand.filter(d2 <= F.lit(d) * F.lit(d)).select("osm_id", "ep")
+    matches = pairs.filter(d2 <= F.lit(d) * F.lit(d)).select("osm_id", "ep")
     per_road = matches.groupBy("osm_id").agg(
         (F.max(F.when(F.col("ep") == 0, 1).otherwise(0)) == 1).alias("near0"),
         (F.max(F.when(F.col("ep") == 1, 1).otherwise(0)) == 1).alias("near1"),
     )
-    out = r.select("osm_id").join(per_road, "osm_id", "left")
+    out = cand.select("osm_id").join(per_road, "osm_id", "left")
     n0 = F.coalesce(F.col("near0"), F.lit(False))
     n1 = F.coalesce(F.col("near1"), F.lit(False))
     return out.select("osm_id", n0.alias("near0"), n1.alias("near1"),
                       (n0 & n1).alias("hadj_upgrade"))
+
+
+@register("q09_endpoint_proximity_upgrade", None)
+def q09_endpoint_proximity_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: HAdj upgrade — both road endpoints within d of an NH/SH/MDR road's
+    vertices (07_assign_final_road_classification.sql:63-97).
+
+    The join keys on a RADIUS-SIZED micro-grid (d = 1/512 deg exactly, so a
+    512x512 grid), not the 128x128 tiling cells: with a radius of 1/4 cell,
+    keying on full cells makes the dense urban core quadratic (tens of
+    thousands of highway vertices x thousands of endpoints per hot cell —
+    measured 41 s at sf0.1); radius-sized keys bound each bucket's density
+    by the true collision neighborhood and the same join runs in ~1 s.
+    Highway vertices take the 3x3 micro-ring (completeness: any point within
+    d is inside the ring, clamped consistently at the world border); the
+    exact d^2 refine is unchanged.
+
+    The highway side is further deduped to DISTINCT POSITIONS carrying two
+    owner witnesses (min/max h_osm): coordinates are quantized (1/2048), so
+    the urban core piles ~17 coincident vertices per position — the dedup
+    shrinks the join fan-out by that factor, and "some owner != this road"
+    is exactly (min_h != osm OR max_h != osm)."""
+    r = world.roads_materialized(spark, sf_dir)
+    return _endpoint_proximity_upgrade(r, r)
 
 
 ORACLES["q09_endpoint_proximity_upgrade"] = _q09_sql()
@@ -4181,9 +4223,7 @@ def q58_persona_v1_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfl = P.spark_fl
     r = world.roads_materialized(spark, sf_dir)
-    s = world.segments(spark, sf_dir, r)
     g = world.grids(spark)
-    wn = world.way_nodes(spark, sf_dir, r)
     feats = world.features(spark, sf_dir)
 
     lons = F.transform("vertices", lambda v: v["lon"])
@@ -4191,18 +4231,39 @@ def q58_persona_v1_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
     x0, y0, x1, y1 = W.V1_BBOX
     bbox_ok = ((F.array_max(lons) >= F.lit(x0)) & (F.array_min(lons) <= F.lit(x1))
                & (F.array_max(lats) >= F.lit(y0)) & (F.array_min(lats) <= F.lit(y1)))
+    # The reference scopes EVERY v1 statement to the bbox
+    # (01_compute_persona_base_scores_simplified.sql:28-31), so the gate is
+    # pushed into every branch subtree here too: each branch is per-osm_id
+    # with its feature/highway side unaffected by the road-side filter, so
+    # pre-filtering the road side is exactness-preserving and cuts ~59% of
+    # the upstream work (41% bbox selectivity at sf0.1).  The filtered set
+    # is NOT checkpointed: it is WIDE (carries vertices), and the q46
+    # lesson holds — each branch re-filters from the columnar scan (cheap,
+    # OS-cached, stays in codegen) faster than a 3 s blocking materialize
+    # of 190k wide rows (measured both ways at sf0.1).
+    r_bbox = r.filter(F.col("highway").isin(W.BIKABLE) & bbox_ok)
+    s = world.segments(spark, sf_dir, r_bbox)
+    wn = world.way_nodes(spark, sf_dir, r_bbox)
     mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
     rep = F.element_at("vertices", mid)
     semi = ((rep["lon"] >= W.SEMI_LO) & (rep["lon"] < W.SEMI_HI)
             & (rep["lat"] >= W.SEMI_LO) & (rep["lat"] < W.SEMI_HI))
-    bik = r.filter(F.col("highway").isin(W.BIKABLE) & bbox_ok) \
-           .select("osm_id", "highway", "ref", "lanes", "surface",
-                   (~semi).alias("rural"))
+    bik = r_bbox.select("osm_id", "highway", "ref", "lanes", "surface",
+                        (~semi).alias("rural"))
 
-    hadj = q09_endpoint_proximity_upgrade(spark, sf_dir) \
+    # The highway side is semantically global (an out-of-bbox NH/SH can
+    # upgrade an in-bbox road), but a SOUND window still bounds it: every
+    # candidate endpoint lies within the bbox expanded by the max way
+    # extent ((NV_MAX - 1) * STEP_HALF / STEP_DEN — candidates only need
+    # to OVERLAP the bbox), and a matching highway vertex within d of
+    # that.  Beyond bbox + extent + d, no highway vertex can match.
+    ext = ((W.NV_MAX - 1) * W.STEP_HALF) / W.STEP_DEN + W.ENDPOINT_DIST_DEG
+    hadj = _endpoint_proximity_upgrade(
+        r, r_bbox, hw_window=(x0 - ext, y0 - ext, x1 + ext, y1 + ext)) \
         .select("osm_id", "hadj_upgrade")
-    setting = classify.classify_roads(r, s, g).select("osm_id", "road_setting")
-    tw = q08_curvature(spark, sf_dir).select("osm_id", "twist_permille")
+    setting = classify.classify_roads(r_bbox, s, g) \
+        .select("osm_id", "road_setting")
+    tw = _curvature_rollup(r_bbox).select("osm_id", "twist_permille")
     geo = s.groupBy("osm_id").agg(
         F.sum(G.quantize_len_um(G.seg_len_geo_m(
             F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))))

@@ -364,7 +364,14 @@ DBSCAN_MINPTS = 3
 # simplification actually discriminates: z6 drops most interior vertices,
 # z10 only the straightest.
 NV_MAX = 8                       # nv = 2 + (a % 7) above — max 8 vertices
-ZOOMS = [(6, 16, 1.0 / 128.0), (10, 64, 1.0 / 512.0)]
+# Three zooms, like the reference's materialized z6/z10/z14 vis views
+# (sql/visualization/00_drop_all_vis_views.sql:17-21, vis_views.sql:26-80).
+# z14's 1/2048-deg tolerance sits below the typical vertex jitter, so the
+# detail zoom keeps almost every vertex — matching the reference, whose z14
+# views simplify least.  (ZOOMS is a QUERY parameter, not a world
+# derivation: the roads cache and checkpoint lineage are unaffected.)
+ZOOMS = [(6, 16, 1.0 / 128.0), (10, 64, 1.0 / 512.0),
+         (14, 256, 1.0 / 2048.0)]
 
 
 def grid_class_bounds() -> tuple[float, float, float, float]:
