@@ -61,6 +61,7 @@ HEADLINE = [
     "q56_mollweide_grid",
     "q57_admin_bounds",
     "q58_persona_v1_simplified",
+    "q59_mercator_endpoint_dwithin",
 ]
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")

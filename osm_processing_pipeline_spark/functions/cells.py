@@ -121,3 +121,66 @@ def disk_cover_of_point(lon: Column, lat: Column, radius_deg: float) -> Column:
 
     r = int(math.ceil(radius_deg / CELL_DEG))
     return kring(cell_of_point(lon, lat), r)
+
+
+# ------------------------------------------------------------- micro-grid
+# Radius-sized keys for SUB-CELL-radius joins: keying a join whose radius is
+# a fraction of CELL_DEG on the 128x128 tiling cells makes the dense urban
+# core quadratic (thousands of rows per hot cell); a micro-grid sized to the
+# radius bounds each bucket by the true collision neighborhood (the q09
+# lesson).  M must be a power of two so the edge 1/M is exact.
+
+def micro_grid_for_radius(radius_deg: float) -> int:
+    """Largest power-of-two M with 1/M >= radius_deg — the finest sound
+    micro-grid for a radius-deg join (one-cell point keys + radius-expanded
+    bbox covers never miss a candidate)."""
+    import math
+
+    return 1 << int(math.floor(math.log2(1.0 / radius_deg)))
+
+
+def micro_cell_of_point(lon: Column, lat: Column, m: int) -> Column:
+    """Point -> micro-cell id on the m x m grid (clamped into the world)."""
+    mi = _clamp(F.floor(lon * F.lit(float(m))).cast("long"), 0, m - 1)
+    mj = _clamp(F.floor(lat * F.lit(float(m))).cast("long"), 0, m - 1)
+    return (mj * F.lit(m) + mi).cast("long")
+
+
+def micro_kring_of_point(lon: Column, lat: Column, m: int) -> Column:
+    """3x3 micro-cell ring around a point, clipped at the world border —
+    the point-side key when the OTHER join side carries only its exact
+    bbox cover: any partner within one cell edge lies in the ring."""
+    mi = _clamp(F.floor(lon * F.lit(float(m))).cast("long"), 0, m - 1)
+    mj = _clamp(F.floor(lat * F.lit(float(m))).cast("long"), 0, m - 1)
+    ring = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda dj: F.transform(
+                F.sequence(F.lit(-1), F.lit(1)),
+                lambda di: F.when(
+                    (mi + di >= 0) & (mi + di < m)
+                    & (mj + dj >= 0) & (mj + dj < m),
+                    ((mj + dj) * F.lit(m) + (mi + di)).cast("long")),
+            ),
+        )
+    )
+    return F.filter(ring, lambda c: c.isNotNull())
+
+
+def micro_bbox_cover(xmin: Column, ymin: Column,
+                     xmax: Column, ymax: Column, m: int) -> Column:
+    """array<long> of m x m micro-cells intersecting the bbox (clamped
+    consistently with ``micro_cell_of_point``, so border matches survive).
+    Expand the bbox by the join radius on the caller side and the single
+    point-side cell is guaranteed to be in the cover."""
+    mi0 = _clamp(F.floor(xmin * F.lit(float(m))).cast("long"), 0, m - 1)
+    mi1 = _clamp(F.floor(xmax * F.lit(float(m))).cast("long"), 0, m - 1)
+    mj0 = _clamp(F.floor(ymin * F.lit(float(m))).cast("long"), 0, m - 1)
+    mj1 = _clamp(F.floor(ymax * F.lit(float(m))).cast("long"), 0, m - 1)
+    return F.flatten(
+        F.transform(
+            F.sequence(mj0, mj1),
+            lambda j: F.transform(F.sequence(mi0, mi1),
+                                  lambda i: (j * F.lit(m) + i).cast("long")),
+        )
+    )

@@ -189,6 +189,21 @@ def _cos_poly(x: E) -> E:
         - x10 / 3628800.0
 
 
+def _atanh_poly(z: E) -> E:
+    """atanh(z) = sum_{k>=0} z^(2k+1)/(2k+1), truncated at z^21: the next
+    term is < 6e-17 for |z| <= 0.23 (the world window's max |sin phi| is
+    ~0.225 at lat 13 deg), i.e. < 0.4 um at R — far below the mm
+    quantization.  Built as one linear odd-power chain so both engines
+    evaluate the identical operation sequence."""
+    out = z
+    p = z
+    z2 = z * z
+    for k in range(1, 11):
+        p = p * z2
+        out = out + p / float(2 * k + 1)
+    return out
+
+
 # ----------------------------------------------------------- Mollweide kernel
 def mollweide_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
     """Forward Mollweide of the named world-window columns ``lon``/``lat``
@@ -217,6 +232,36 @@ def mollweide_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
                   lit(W.MOLL_KX) * (ref(f"{p}_lam") * _cos_poly(ref(t)))))
     steps.append((f"{p}_y", lit(W.MOLL_KY) * _sin_poly(ref(t))))
     return steps
+
+
+# ---------------------------------------------------------- Mercator kernel
+def mercator_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
+    """Forward EPSG:3857 Web-Mercator of the named world-window columns
+    ``lon``/``lat`` (degrees, offset by the world anchor GEO_LON0/LAT0)
+    into metre columns ``{prefix}_x`` / ``{prefix}_y``:
+
+        x = R * lambda
+        y = R * atanh(sin(phi))          (R = WGS84 semi-major 6378137)
+
+    — the spherical-Mercator-on-WGS84 formula that IS EPSG:3857 (the
+    'Pseudo-Mercator' definition uses the sphere of radius a, so unlike
+    q56's Mollweide there is no ellipsoidal caveat here).  sin and atanh
+    are the shared truncated series (_sin_poly / _atanh_poly), so both
+    engine renderings evaluate the identical operation tree; truncation
+    sits below 1 um at the world window's latitudes.  This mirrors the
+    reference's materialized geom_3857 columns
+    (road_curvature_v2/01_prepare_inputs.sql:70-84,
+    hill_v2/02_add_hill_columns.sql:18;
+    07_assign_final_road_classification.sql:63-97 measures endpoint
+    DWithin in 3857 metres against them)."""
+    p = prefix
+    return [
+        (f"{p}_phi", (lit(W.GEO_LAT0_DEG) + ref(lat)) * W.RAD_PER_DEG),
+        (f"{p}_lam", (lit(W.GEO_LON0_DEG) + ref(lon)) * W.RAD_PER_DEG),
+        (f"{p}_sin", _sin_poly(ref(f"{p}_phi"))),
+        (f"{p}_x", lit(W.MERC_R) * ref(f"{p}_lam")),
+        (f"{p}_y", lit(W.MERC_R) * _atanh_poly(ref(f"{p}_sin"))),
+    ]
 
 
 def quad_shoelace_steps(out: str, pts: list[str]) -> list[tuple[str, E]]:

@@ -263,6 +263,21 @@ MOLL_NEWTON_ITERS = 3
 # ST_Intersects does).
 MOLL_BBOX = (0.25, 0.25, 0.75, 0.75)
 
+# ------------------------------------------------ EPSG:3857 Web-Mercator
+# x = MERC_R * lam, y = MERC_R * atanh(sin phi) — the Pseudo-Mercator
+# definition uses the SPHERE of radius a (WGS84 semi-major), so the
+# spherical kernel is the exact 3857 formula, not an approximation.
+MERC_R = 6378137.0
+# Endpoint-DWithin radius in 3857 metres (the reference's HAdj refine runs
+# ST_DWithin(endpoint, highway_geom_3857, 50) — 50 m at planet scale;
+# scaled here to ~2.7 vertex-quantization steps so the predicate has a
+# real mixed decision surface, like ENDPOINT_DIST_DEG's 4 steps).
+MERC_DWITHIN_M = 150.0
+# Lower bound of metres-per-degree in 3857 over BOTH axes: dx/dlon_deg is
+# exactly MERC_R*pi/180 everywhere, dy/dlat_deg = that / cos(phi) >= it —
+# so radius/MERC_M_PER_DEG is a sound degree-space cover radius.
+MERC_M_PER_DEG = MERC_R * RAD_PER_DEG
+
 # Geography-mode ST_DWithin (q55): a metre radius instead of the degree
 # thresholds above — the metre semantics the reference gets via geom_3857
 # (50 m endpoint DWithin, sql/road_classification/07_assign_final_road_
