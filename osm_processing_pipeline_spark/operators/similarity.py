@@ -209,48 +209,92 @@ def embedding_neardup(embeddings: DataFrame, threshold_nano: int) -> DataFrame:
 
 IVF_LISTS = 16
 IVF_NPROBE = 2
+IVF_KMEANS_ITERS = 2   # fixed-count Lloyd: both engines run the identical
+                       # iteration sequence, so the trained centroids twin
 
 
-def _ivf_projs(emb_col: str = "emb"):
-    """16 integer centroid projections per vector (centroid j = the fixed
-    pseudo-random direction of plane_weight_expr(j); input-quantized dots,
-    bit-identical to the SQL twin)."""
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """norms() plus the int64-quantized vector qv = floor(emb * 2^20) —
+    every k-means dot/score below is exact integer arithmetic on qv."""
+    return norms(embeddings).withColumn(
+        "qv", F.expr(f"transform(emb, x -> CAST(floor(x * {QIN}) AS BIGINT))"))
+
+
+def _score_cols(cents: list[list[int]]):
+    """L2 rank scores vs the trained centroid literals: score_j =
+    |c_j|^2 - 2 * dot(qv, c_j) (the |x|^2 term is common to all j and
+    dropped — the ranking is the exact L2 ranking).  All int64: |qv_i|,
+    |c_i| < 2^20 so dots < 2^46 and scores < 2^47."""
     outs = []
-    for j in range(IVF_LISTS):
+    for j, c in enumerate(cents):
+        c2 = sum(v * v for v in c)
+        arr = "array(" + ", ".join(f"{v}L" for v in c) + ")"
         outs.append(F.expr(
-            f"aggregate(transform({emb_col}, (x, i) -> "
-            f"CAST(floor(x * {plane_weight_expr(j)} * 1000000000.0D) AS BIGINT)), "
-            "0L, (acc, v) -> acc + v)").alias(f"p{j}"))
+            f"{c2}L - 2L * aggregate(zip_with(qv, {arr}, (x, y) -> x * y), "
+            "0L, (acc, v) -> acc + v)").alias(f"s{j}"))
     return outs
 
 
-def _argmax2(cols):
-    """(best_j, second_j) over 16 numeric columns, first-wins ties —
-    the coarse quantizer assign + nprobe=2 probe set."""
+def _argmin2(cols):
+    """(best_j, second_j) over the score columns, smallest-j ties — the
+    coarse quantizer assign + nprobe=2 probe set.  Mask value 2^62 exceeds
+    every real score (< 2^47)."""
     n = len(cols)
-    best_v = F.greatest(*cols)
+    best_v = F.least(*cols)
     best_j = F.lit(n - 1)
     for j in range(n - 2, -1, -1):
         best_j = F.when(cols[j] == best_v, F.lit(j)).otherwise(best_j)
-    masked = [F.when(F.lit(j) == best_j, F.lit(-(1 << 62))).otherwise(cols[j])
+    masked = [F.when(F.lit(j) == best_j, F.lit(1 << 62)).otherwise(cols[j])
               for j in range(n)]
-    sec_v = F.greatest(*masked)
+    sec_v = F.least(*masked)
     sec_j = F.lit(n - 1)
     for j in range(n - 2, -1, -1):
         sec_j = F.when(masked[j] == sec_v, F.lit(j)).otherwise(sec_j)
     return best_j, sec_j
 
 
+def train_ivf_centroids(embeddings: DataFrame) -> list[list[int]]:
+    """Fixed-count Lloyd k-means over the int64-quantized vectors,
+    deterministic end-to-end: seeds are the IVF_LISTS lowest vec_ids with
+    nrm > 0; each iteration assigns by exact integer L2 rank (smallest-j
+    ties) and recenters to the elementwise floor(mean) (exact: sums stay
+    below 2^53, so the one double division is correctly rounded and
+    engine-identical); empty clusters keep their previous centroid.  Only
+    O(K*D) bytes ever reach the driver (seed rows + 16x64 dim sums per
+    iteration — the canonical distributed-k-means shape; the per-vector
+    assign/sum passes stay on the executors)."""
+    import math
+
+    q = _quantized(embeddings).filter(F.col("nrm") > 0).select("vec_id", "qv")
+    seeds = q.orderBy("vec_id").limit(IVF_LISTS).collect()
+    cents = [list(r["qv"]) for r in seeds]
+    for _ in range(IVF_KMEANS_ITERS):
+        a = q.select("qv", *_score_cols(cents))
+        best_j, _ = _argmin2([F.col(f"s{j}") for j in range(IVF_LISTS)])
+        stats = (a.select(best_j.alias("j"), F.posexplode("qv").alias("i", "x"))
+                 .groupBy("j", "i")
+                 .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                 .collect())
+        nxt = [list(c) for c in cents]          # empty cluster keeps old
+        for r in stats:
+            nxt[r["j"]][r["i"]] = math.floor(r["s"] / r["n"])
+        cents = nxt
+    return cents
+
+
 def ivf_ann_top1(embeddings: DataFrame) -> DataFrame:
-    """IVF ANN: coarse-quantize every vector to its best of 16 fixed centroid
-    directions (the inverted lists); a query probes its top-2 lists
-    (nprobe=2) and exact-cosine re-ranks the candidates.  The scale shape of
-    FAISS-style IVF — index side partitioned by list id, probe side exploded
-    x nprobe — with the engine's deterministic integer dot machinery."""
-    n = norms(embeddings)
-    pr = n.select("vec_id", "emb", "nrm", *_ivf_projs())
-    pcols = [F.col(f"p{j}") for j in range(IVF_LISTS)]
-    best_j, sec_j = _argmax2(pcols)
+    """IVF ANN with TRAINED centroids: fixed-count Lloyd over the corpus
+    builds the 16 inverted lists (train_ivf_centroids); every vector is
+    assigned to its nearest centroid, a query probes its top-2 lists
+    (nprobe=2) and exact-cosine re-ranks the candidates.  The scale shape
+    of FAISS-style IVF — index side partitioned by list id, probe side
+    exploded x nprobe, training touches the driver only with O(K*D) bytes —
+    with the engine's deterministic integer dot machinery."""
+    cents = train_ivf_centroids(embeddings)
+    pr = _quantized(embeddings).select("vec_id", "emb", "nrm", "qv",
+                                       *_score_cols(cents))
+    scols = [F.col(f"s{j}") for j in range(IVF_LISTS)]
+    best_j, sec_j = _argmin2(scols)
     assigned = pr.select("vec_id", "emb", "nrm", best_j.alias("list_id"),
                          sec_j.alias("probe2"))
     index = assigned.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),

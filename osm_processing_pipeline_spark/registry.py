@@ -2138,36 +2138,78 @@ ORACLES["q38_checkpointed_pieces"] = _q38_sql()
 
 # --------------------------------------------------------------------- q39
 def _q39_sql() -> str:
-    from .operators.similarity import IVF_LISTS
-    plane_sums = []
-    for j in range(IVF_LISTS):
-        w = ot.plane_weight_sql(j, "(i - 1)")
-        plane_sums.append(
-            f"SUM(CAST(floor((CAST(embedding[i] AS DOUBLE) * {w}) * {oracle.fl(1.0e9)}) AS BIGINT)) AS p{j}")
-    ps = [f"p{j}" for j in range(IVF_LISTS)]
-    best_v = f"GREATEST({', '.join(ps)})"
-    best_j = ("CASE " + " ".join(f"WHEN p{j} = bv THEN {j}" for j in range(IVF_LISTS))
-              + " END")
-    mask = -(1 << 62)
-    masked = [f"CASE WHEN {j} = bj THEN CAST({mask} AS BIGINT) ELSE p{j} END"
-              for j in range(IVF_LISTS)]
-    sec_v = f"GREATEST({', '.join(masked)})"
-    sec_j = ("CASE " + " ".join(f"WHEN ({m}) = sv THEN {j}"
-                                for j, m in enumerate(masked)) + " END")
-    return f"""
+    """Twin of similarity.train_ivf_centroids + ivf_ann_top1: the SAME
+    fixed-count Lloyd unrolled as CTEs — seeds = the IVF_LISTS lowest
+    vec_ids with nrm > 0, per-iteration exact-integer L2 assignment
+    (score = |c|^2 - 2*dot on the 2^20-quantized vectors, smallest-j
+    ties), recenter to elementwise floor(mean) (one correctly-rounded
+    double division), empty clusters keep their previous centroid — then
+    the final all-vector assignment ranks list_id (rn=1) and probe2
+    (rn=2), identical to the engine's masked-argmin pair."""
+    from .operators.similarity import IVF_KMEANS_ITERS, IVF_LISTS
+
+    K = IVF_LISTS
+    qin = oracle.fl(2.0 ** 20)
+    parts = [f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 terms1 AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM e),
 nrm AS (SELECT vec_id, {ot.qdot_sql('embedding', 'embedding')} AS nrm
         FROM terms1 GROUP BY vec_id),
-projs AS (
-  SELECT vec_id, {', '.join(plane_sums)}
-  FROM terms1 GROUP BY vec_id
+q AS (
+  SELECT t.vec_id, t.i,
+         CAST(floor(CAST(t.embedding[t.i] AS DOUBLE) * {qin}) AS BIGINT) AS qx
+  FROM terms1 t
 ),
-withbest AS (SELECT *, {best_v} AS bv FROM projs),
-withbj AS (SELECT *, {best_j} AS bj FROM withbest),
-withsec AS (SELECT *, {sec_v} AS sv FROM withbj),
-assigned AS (SELECT vec_id, bj AS list_id, {sec_j} AS probe2 FROM withsec),
-idx AS (SELECT vec_id AS vb, list_id FROM assigned),
+qtrain AS (SELECT q.* FROM q JOIN nrm USING (vec_id) WHERE nrm.nrm > 0),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+  FROM nrm WHERE nrm > 0 ORDER BY vec_id LIMIT {K}
+),
+c0 AS (SELECT s.j, t.i, t.qx AS c FROM seeds s JOIN qtrain t USING (vec_id))"""]
+    for t in range(IVF_KMEANS_ITERS):
+        parts.append(f""",
+c{t}sq AS (SELECT j, SUM(c * c) AS c2 FROM c{t} GROUP BY j),
+sc{t} AS (
+  SELECT t.vec_id, c.j, cs.c2 - 2 * SUM(t.qx * c.c) AS score
+  FROM qtrain t JOIN c{t} c ON c.i = t.i JOIN c{t}sq cs ON cs.j = c.j
+  GROUP BY t.vec_id, c.j, cs.c2
+),
+as{t} AS (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+    FROM sc{t}
+  ) WHERE rn = 1
+),
+c{t + 1} AS (
+  SELECT p.j, p.i, COALESCE(nc.c, p.c) AS c
+  FROM c{t} p LEFT JOIN (
+    SELECT a.j, t.i,
+           CAST(floor(CAST(SUM(t.qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM as{t} a JOIN qtrain t USING (vec_id) GROUP BY a.j, t.i
+  ) nc ON nc.j = p.j AND nc.i = p.i
+)""")
+    T = IVF_KMEANS_ITERS
+    parts.append(f""",
+cfsq AS (SELECT j, SUM(c * c) AS c2 FROM c{T} GROUP BY j),
+scf AS (
+  SELECT t.vec_id, c.j, cs.c2 - 2 * SUM(t.qx * c.c) AS score
+  FROM q t JOIN c{T} c ON c.i = t.i JOIN cfsq cs ON cs.j = c.j
+  GROUP BY t.vec_id, c.j, cs.c2
+),
+ranked AS (
+  SELECT vec_id, j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+  FROM scf
+),
+assigned AS (
+  SELECT r1.vec_id, r1.j AS list_id, r2.j AS probe2
+  FROM (SELECT * FROM ranked WHERE rn = 1) r1
+  JOIN (SELECT * FROM ranked WHERE rn = 2) r2 USING (vec_id)
+),
+idx AS (SELECT vec_id AS vb, list_id FROM assigned),""")
+    head = "".join(parts)
+    return f"""{head}
 probes AS (
   SELECT vec_id, list_id FROM assigned
   UNION ALL
@@ -2206,9 +2248,13 @@ FROM assigned a LEFT JOIN (SELECT * FROM top1 WHERE rank = 1) t ON t.va = a.vec_
 
 @register("q39_ivf_ann", None)
 def q39_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN (coarse quantizer over 16 fixed centroid directions,
-    nprobe=2, exact cosine re-rank) — the inverted-file scale path
-    complementing the LSH variant (q22)."""
+    """IVF-probed ANN with a TRAINED coarse quantizer (fixed-count Lloyd
+    k-means over the corpus, deterministic seeds, integer-quantized
+    centroids — similarity.train_ivf_centroids), nprobe=2, exact cosine
+    re-rank — the inverted-file scale path complementing the LSH variant
+    (q22).  Replaces round 2-4's fixed-direction assignment (the declared
+    'would train at real scale' caveat): the lists are now data-adapted
+    exactly the way a FAISS IVF index is built."""
     from .operators import similarity
 
     return similarity.ivf_ann_top1(_embs(spark, sf_dir))

@@ -139,19 +139,32 @@ def run_sliding_late_available_now(spark: SparkSession, stage_dir: str,
                                    sink_table: str = "stream_late") -> DataFrame:
     """Drain the staged batches one file per trigger in append mode: each
     emitted row is a window finalized by the watermark; windows still open at
-    end-of-stream are withheld (append-mode semantics)."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
-    )
-    q = (
-        sliding_late_aggregation(stream)
-        .writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    end-of-stream are withheld (append-mode semantics).
+
+    The wall here is micro-batch ORCHESTRATION, not plan work: 5 trigger
+    rounds, each committing every state-store partition to the checkpoint
+    dir.  State partition count is pinned from spark.sql.shuffle.partitions
+    at the first batch, so it is dropped to 4 for this query (plenty for
+    the O(100) live window keys; partitioning never changes aggregate
+    values) and restored after — 32 partitions spend ~8x the commit I/O
+    for zero parallelism benefit at this state size."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        q = (
+            sliding_late_aggregation(stream)
+            .writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink_table)
