@@ -19,9 +19,16 @@ engines execute the identical operation sequence; with the world window's
 latitudes (~12-13 deg) three iterations converge to < 1e-13 rad and the
 truncated series sit below 1e-11, i.e. sub-millimetre at R — far inside the
 mm/m2 quantization the graded outputs use.  EPSG:54009 proper is the
-ellipsoidal WGS84 Mollweide; this kernel is its spherical closed form
-(R = 6371000), declared — the *shape* of the semantics (equal-area metres
-from lon/lat) is what the engine needed and lacked.
+ellipsoidal WGS84 Mollweide; ``mollweide_steps`` is the spherical form
+(R = 6371000, the graded q56 default, unchanged since round 4) and
+``mollweide_authalic_steps`` is the true ellipsoidal form the way PROJ
+computes it — the spherical projection at the Snyder-series authalic
+latitude on the authalic sphere R_q, within 1 cm of the exact ellipsoidal
+transform (q60 twin; test_projection pins the budget).
+
+The module also carries the EPSG:3857 Web-Mercator forward kernel
+(``mercator_steps``, q59) — there the spherical formula IS the official
+definition, no caveat.
 
 Exactness is STRUCTURAL here, not hand-mirrored: the kernel is written once
 against a tiny expression AST (``E``), and two backends render it — a
@@ -205,6 +212,28 @@ def _atanh_poly(z: E) -> E:
 
 
 # ----------------------------------------------------------- Mollweide kernel
+def _moll_solve(p: str, steps: list, phi_step: str, kx: float, ky: float) -> None:
+    """Append the fixed-count Newton solve of 2*theta + sin(2*theta) =
+    pi * sin(phi) (seeded at the named latitude step) plus the x/y output
+    steps.  Shared verbatim by the spherical and authalic variants — the
+    spherical rendering is byte-identical to rounds 3-4 (q56's graded
+    trees are unchanged)."""
+    steps.append((f"{p}_rhs", lit(W.MOLL_PI) * _sin_poly(ref(phi_step))))
+    t = phi_step
+    for i in range(W.MOLL_NEWTON_ITERS):
+        u = f"{p}_u{i}"
+        steps.append((u, ref(t) + ref(t)))          # 2*theta_i, exact
+        steps.append((f"{p}_s{i}", _sin_poly(ref(u))))
+        steps.append((f"{p}_c{i}", _cos_poly(ref(u))))
+        nxt = f"{p}_t{i}"
+        steps.append((nxt,
+                      ref(t) - ((ref(u) + ref(f"{p}_s{i}")) - ref(f"{p}_rhs"))
+                      / (2.0 + (ref(f"{p}_c{i}") + ref(f"{p}_c{i}")))))
+        t = nxt
+    steps.append((f"{p}_x", lit(kx) * (ref(f"{p}_lam") * _cos_poly(ref(t)))))
+    steps.append((f"{p}_y", lit(ky) * _sin_poly(ref(t))))
+
+
 def mollweide_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
     """Forward Mollweide of the named world-window columns ``lon``/``lat``
     (degrees, offset by the world anchor GEO_LON0/LAT0) into metre columns
@@ -216,21 +245,47 @@ def mollweide_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
                   (lit(W.GEO_LAT0_DEG) + ref(lat)) * W.RAD_PER_DEG))
     steps.append((f"{p}_lam",
                   (lit(W.GEO_LON0_DEG) + ref(lon)) * W.RAD_PER_DEG))
-    steps.append((f"{p}_rhs", lit(W.MOLL_PI) * _sin_poly(ref(f"{p}_phi"))))
-    t = f"{p}_phi"
-    for i in range(W.MOLL_NEWTON_ITERS):
-        u = f"{p}_u{i}"
-        steps.append((u, ref(t) + ref(t)))          # 2*theta_i, exact
-        steps.append((f"{p}_s{i}", _sin_poly(ref(u))))
-        steps.append((f"{p}_c{i}", _cos_poly(ref(u))))
-        nxt = f"{p}_t{i}"
-        steps.append((nxt,
-                      ref(t) - ((ref(u) + ref(f"{p}_s{i}")) - ref(f"{p}_rhs"))
-                      / (2.0 + (ref(f"{p}_c{i}") + ref(f"{p}_c{i}")))))
-        t = nxt
-    steps.append((f"{p}_x",
-                  lit(W.MOLL_KX) * (ref(f"{p}_lam") * _cos_poly(ref(t)))))
-    steps.append((f"{p}_y", lit(W.MOLL_KY) * _sin_poly(ref(t))))
+    _moll_solve(p, steps, f"{p}_phi", W.MOLL_KX, W.MOLL_KY)
+    return steps
+
+
+def mollweide_authalic_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
+    """TRUE ellipsoidal EPSG:54009: what PROJ/PostGIS do for
+    ``+proj=moll +ellps=WGS84`` is the SPHERICAL Mollweide evaluated at the
+    AUTHALIC latitude beta on the authalic sphere R_q — equal-area by
+    construction.  beta comes from Snyder's series (Map Projections — A
+    Working Manual, eq. 3-18):
+
+        beta = phi - c2*sin(2 phi) + c4*sin(4 phi) - c6*sin(6 phi)
+
+    with the WGS84 e^2 coefficients in worldspec; sin/cos of the multiple
+    angles are built by double/compound-angle identities from the base
+    sin/cos polynomials (arguments stay < 0.25 rad, inside the series
+    budget).  The truncation vs the exact ellipsoidal form is O(e^8)
+    (< 1 cm at R_q — pinned by test); both engines evaluate the identical
+    tree, so oracle exactness is unaffected by that offset."""
+    p = prefix
+    steps: list[tuple[str, E]] = []
+    steps.append((f"{p}_phi",
+                  (lit(W.GEO_LAT0_DEG) + ref(lat)) * W.RAD_PER_DEG))
+    steps.append((f"{p}_lam",
+                  (lit(W.GEO_LON0_DEG) + ref(lon)) * W.RAD_PER_DEG))
+    # step names carry an 'a' (authalic) marker: the Newton chain appended
+    # by _moll_solve owns the bare {p}_s{i}/{p}_c{i} namespace
+    steps.append((f"{p}_asp", _sin_poly(ref(f"{p}_phi"))))
+    steps.append((f"{p}_acp", _cos_poly(ref(f"{p}_phi"))))
+    sp, cp = ref(f"{p}_asp"), ref(f"{p}_acp")
+    steps.append((f"{p}_as2", 2.0 * (sp * cp)))
+    steps.append((f"{p}_ac2", 1.0 - 2.0 * (sp * sp)))
+    s2, c2 = ref(f"{p}_as2"), ref(f"{p}_ac2")
+    steps.append((f"{p}_as4", 2.0 * (s2 * c2)))
+    steps.append((f"{p}_ac4", 1.0 - 2.0 * (s2 * s2)))
+    s4, c4 = ref(f"{p}_as4"), ref(f"{p}_ac4")
+    steps.append((f"{p}_as6", (s4 * c2) + (c4 * s2)))
+    steps.append((f"{p}_beta",
+                  ((ref(f"{p}_phi") - lit(W.AUTH_C2) * s2)
+                   + lit(W.AUTH_C4) * s4) - lit(W.AUTH_C6) * ref(f"{p}_as6")))
+    _moll_solve(p, steps, f"{p}_beta", W.MOLL_RQ_KX, W.MOLL_RQ_KY)
     return steps
 
 

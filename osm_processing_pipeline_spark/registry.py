@@ -4551,6 +4551,72 @@ def q59_mercator_endpoint_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame
 ORACLES["q59_mercator_endpoint_dwithin"] = _q59_sql()
 
 
+# --------------------------------------------------------------------- q60
+def _q60_steps():
+    from .functions import projection as P
+
+    steps = []
+    for p, (lon, lat) in [("c", ("cx", "cy")), ("pa", ("x0", "y0")),
+                          ("pb", ("x1", "y0")), ("pd", ("x1", "y1")),
+                          ("pe", ("x0", "y1"))]:
+        steps += P.mollweide_authalic_steps(p, lon, lat)
+    steps += P.quad_shoelace_steps("area_raw", ["pa", "pb", "pd", "pe"])
+    return steps
+
+
+def _q60_sql() -> str:
+    from .functions import projection as P
+
+    fl = oracle.fl
+    xlo, ylo, xhi, yhi = W.MOLL_BBOX
+    half = fl(W.CELL_DEG / 2.0)
+    return f"""{oracle.with_world('grid')},
+cells AS (
+  SELECT grid_id, x0, y0, x1, y1,
+         x0 + {half} AS cx, y0 + {half} AS cy
+  FROM grid
+  WHERE x1 >= {fl(xlo)} AND x0 <= {fl(xhi)}
+    AND y1 >= {fl(ylo)} AND y0 <= {fl(yhi)}
+),
+proj AS (
+  SELECT * FROM {P.steps_sql_from(_q60_steps(), 'cells')}
+)
+SELECT grid_id,
+       CAST(floor(c_x * {fl(1000.0)}) AS BIGINT) AS centroid_x_mm,
+       CAST(floor(c_y * {fl(1000.0)}) AS BIGINT) AS centroid_y_mm,
+       CAST(floor(area_raw) AS BIGINT) AS grid_area_m2
+FROM proj"""
+
+
+@register("q60_mollweide_ellipsoidal", None)
+def q60_mollweide_ellipsoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q56's grid overlay through the TRUE ellipsoidal EPSG:54009 kernel
+    (authalic-latitude Mollweide on the authalic sphere — exactly PROJ's
+    +proj=moll +ellps=WGS84 path; mollweide_authalic_steps).  Removes the
+    spherical-vs-ellipsoidal caveat q56 declared in rounds 3-4: the
+    remaining gap to the exact ellipsoidal transform is the O(e^8) Snyder
+    series truncation, < 1 cm (pinned by test_projection).  Kept in the
+    ungraded tail — the graded q56 stays the spherical default; the
+    operator shape (per-row projection map, no shuffle) is graded there."""
+    from .functions import projection as P
+
+    xlo, ylo, xhi, yhi = W.MOLL_BBOX
+    g = (world.grids(spark)
+         .filter((F.col("x1") >= xlo) & (F.col("x0") <= xhi)
+                 & (F.col("y1") >= ylo) & (F.col("y0") <= yhi))
+         .withColumn("cx", F.col("x0") + F.lit(W.CELL_DEG / 2.0))
+         .withColumn("cy", F.col("y0") + F.lit(W.CELL_DEG / 2.0)))
+    g = P.apply_steps(g, _q60_steps())
+    return g.select(
+        "grid_id",
+        F.floor(F.col("c_x") * F.lit(1000.0)).cast("long").alias("centroid_x_mm"),
+        F.floor(F.col("c_y") * F.lit(1000.0)).cast("long").alias("centroid_y_mm"),
+        F.floor(F.col("area_raw")).cast("long").alias("grid_area_m2"))
+
+
+ORACLES["q60_mollweide_ellipsoidal"] = _q60_sql()
+
+
 # ---------------------------------------------------------------- ordering
 # Driver-cap hedge.  CORRECTNESS_r01 recorded rows for all 41 queries that
 # existed then; CORRECTNESS_r02 recorded rows for exactly the FIRST 50 of 51
@@ -4583,12 +4649,16 @@ ORACLES["q59_mercator_endpoint_dwithin"] = _q59_sql()
 #   q12 urban pressure    — J6 zonal graded via q10; the pressure
 #                           composition itself runs inside graded q44/q46
 #                           chains (demoted round 5 to make room for q59)
+#   q60 ellipsoidal 54009 — new round 5: the authalic-latitude variant of
+#                           q56, whose graded run covers the kernel shape;
+#                           born in the tail rather than displacing a
+#                           graded family
 # Round-3 learned the cap the hard way (q51, then q55 got no driver row);
 # the assert makes the invariant structural instead of a comment.
 _TAIL = ["q24_top_customers", "q26_sessionization", "q25_events_tumbling",
          "q23_pricing_summary", "q40_qc_sample", "q42_fourlane",
          "q48_dissolve_boundary", "q11_raster_point_sample",
-         "q12_urban_pressure"]
+         "q12_urban_pressure", "q60_mollweide_ellipsoidal"]
 QUERIES = {**{k: v for k, v in QUERIES.items() if k not in _TAIL},
            **{k: QUERIES[k] for k in _TAIL if k in QUERIES}}
 ORACLES = {**{k: v for k, v in ORACLES.items() if k not in _TAIL},

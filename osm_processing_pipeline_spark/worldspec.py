@@ -263,6 +263,20 @@ MOLL_NEWTON_ITERS = 3
 # ST_Intersects does).
 MOLL_BBOX = (0.25, 0.25, 0.75, 0.75)
 
+# --------------------------------------- ellipsoidal (authalic) Mollweide
+# EPSG:54009 proper is the WGS84 ellipsoidal Mollweide; PROJ implements it
+# as the spherical projection at the AUTHALIC latitude on the authalic
+# sphere.  Snyder eq. 3-18 series coefficients for WGS84 e^2, plus the
+# authalic radius R_q = a*sqrt(q_p/2) (PROJ's value).  Truncation vs the
+# exact ellipsoidal form is O(e^8) < 1 cm — pinned by test_projection.
+MOLL_E2 = 0.00669437999014133                 # WGS84 first eccentricity^2
+AUTH_C2 = MOLL_E2 / 3.0 + 31.0 * MOLL_E2 ** 2 / 180.0 + 59.0 * MOLL_E2 ** 3 / 560.0
+AUTH_C4 = 17.0 * MOLL_E2 ** 2 / 360.0 + 61.0 * MOLL_E2 ** 3 / 1260.0
+AUTH_C6 = 383.0 * MOLL_E2 ** 3 / 45360.0
+MOLL_RQ = 6371007.1809184747                  # WGS84 authalic radius
+MOLL_RQ_KX = MOLL_RQ * (2.0 * MOLL_SQRT2) / MOLL_PI
+MOLL_RQ_KY = MOLL_RQ * MOLL_SQRT2
+
 # ------------------------------------------------ EPSG:3857 Web-Mercator
 # x = MERC_R * lam, y = MERC_R * atanh(sin phi) — the Pseudo-Mercator
 # definition uses the SPHERE of radius a (WGS84 semi-major), so the

@@ -162,6 +162,16 @@ def main() -> None:
         "DWithin refine; existence collapse to distinct osm_id.",
         registry.QUERIES["q53_beach_scenery"](spark, SF))
 
+    add("q59 EPSG:3857 endpoint DWithin (projection before the join)",
+        "The Web-Mercator forward series evaluates ONCE per endpoint / per "
+        "segment row as named projection steps — plain whole-stage-codegen "
+        "arithmetic BEFORE the join, never per candidate pair; the exact "
+        "planar refine runs inside groupBy(osm_id, ep).agg(min(d2)) (the "
+        "q55 lesson).  Sub-cell radius, so the join keys on a radius-sized "
+        "micro-grid: single-cell 3x3 ring on the point side, unexpanded "
+        "bbox cover on the fat segment side.",
+        registry.QUERIES["q59_mercator_endpoint_dwithin"](spark, SF))
+
     add("q47 DBSCAN (eps-ring + CC)",
         "eps-neighborhood via k-ring candidates + exact center distance "
         "(never a self cross-join); core filter; CC over the core graph; "
@@ -173,8 +183,10 @@ def main() -> None:
         "Structured Streaming plans are not explain-dumpable the same way; "
         "the evidence is behavioral (tests/test_streaming_media_skew.py and "
         "the q54 oracle): four deterministic micro-batches, state keyed on "
-        "(window, event_type) across spark.sql.shuffle.partitions state "
-        "partitions, late rows dropped with the previous batch's watermark "
+        "(window, event_type) across 4 pinned state partitions (the wall "
+        "is per-partition checkpoint commit I/O, so 32 partitions cost 8x "
+        "for zero benefit at this state size; values are partition-"
+        "independent), late rows dropped with the previous batch's watermark "
         "and windows emitted exactly once when the current watermark passes "
         "their end.  At scale the state store partitions with the shuffle, "
         "so throughput scales with executors like any keyed aggregation.\n")

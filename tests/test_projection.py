@@ -51,6 +51,100 @@ def test_mollweide_kernel_accuracy_sub_mm():
         assert abs(env["p_y"] - ty) < 1e-3, (lon, lat)
 
 
+def test_authalic_mollweide_accuracy_sub_cm():
+    """Ellipsoidal 54009: the Snyder-series authalic kernel must agree with
+    the EXACT ellipsoidal form (authalic latitude from the closed-form q
+    function, authalic radius from q_p) to < 1 cm — the documented O(e^8)
+    truncation budget.  Also pins the R_q constant against its defining
+    formula."""
+    e2 = W.MOLL_E2
+    e = math.sqrt(e2)
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+
+    qp = q(math.pi / 2)
+    rq = 6378137.0 * math.sqrt(qp / 2)
+    assert abs(rq - W.MOLL_RQ) < 1e-3
+
+    for lon, lat in [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+                     (0.5, 0.5), (0.25, 0.75)]:
+        env = _eval_steps(P.mollweide_authalic_steps("p", "lon", "lat"),
+                          {"lon": lon, "lat": lat})
+        phi = math.radians(W.GEO_LAT0_DEG + lat)
+        lam = math.radians(W.GEO_LON0_DEG + lon)
+        beta = math.asin(q(phi) / qp)
+        t = beta
+        for _ in range(60):
+            t = t - (2 * t + math.sin(2 * t) - math.pi * math.sin(beta)) \
+                / (2 + 2 * math.cos(2 * t))
+        tx = rq * 2 * math.sqrt(2) / math.pi * lam * math.cos(t)
+        ty = rq * math.sqrt(2) * math.sin(t)
+        assert abs(env["p_x"] - tx) < 1e-2, (lon, lat)
+        assert abs(env["p_y"] - ty) < 1e-2, (lon, lat)
+
+
+def test_mercator_kernel_accuracy_sub_um():
+    """x = R*lam is algebraically exact; y = R*atanh(sin phi) through the
+    truncated sin/atanh series must sit far inside the mm quantization —
+    the truncation budget (< 1 um) across the whole world window."""
+    for lon, lat in [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+                     (0.5, 0.5), (0.25, 0.75)]:
+        env = _eval_steps(P.mercator_steps("p", "lon", "lat"),
+                          {"lon": lon, "lat": lat})
+        phi = math.radians(W.GEO_LAT0_DEG + lat)
+        lam = math.radians(W.GEO_LON0_DEG + lon)
+        assert abs(env["p_x"] - W.MERC_R * lam) < 1e-6, (lon, lat)
+        assert abs(env["p_y"] - W.MERC_R * math.atanh(math.sin(phi))) \
+            < 1e-6, (lon, lat)
+
+
+def test_micro_cover_ring_completeness():
+    """q59's candidate generation: a point within cover_deg (< 1/M) of a
+    segment must share a micro-cell between its 3x3 ring and the segment's
+    UNexpanded bbox cover.  Python mirror of the clamped floor arithmetic
+    in functions/cells.micro_* over a deterministic sweep of near-threshold
+    geometries (including world-border clamps)."""
+    M = 512
+
+    def clamp(v):
+        return max(0, min(M - 1, math.floor(v * M)))
+
+    def ring(x, y):
+        mi, mj = clamp(x), clamp(y)
+        return {(j * M + i)
+                for dj in (-1, 0, 1) for di in (-1, 0, 1)
+                if 0 <= (i := mi + di) < M and 0 <= (j := mj + dj) < M}
+
+    def bbox_cover(x0, y0, x1, y1):
+        return {(j * M + i)
+                for j in range(clamp(y0), clamp(y1) + 1)
+                for i in range(clamp(x0), clamp(x1) + 1)}
+
+    dd = 150.0 / (6378137.0 * math.pi / 180.0)   # q59's cover_deg ~0.00135
+    assert dd < 1.0 / M
+    cases = []
+    for k in range(200):
+        ax = (k * 131 % 1024) / 1024.0
+        ay = (k * 197 % 1024) / 1024.0
+        bx = min(1.0, ax + (k % 7) * 0.0007)
+        by = max(0.0, ay - (k % 5) * 0.0009)
+        # points at just under the radius from an endpoint, in 8 directions
+        for th in range(8):
+            px = ax + 0.999 * dd * math.cos(th * math.pi / 4)
+            py = ay + 0.999 * dd * math.sin(th * math.pi / 4)
+            if 0.0 <= px <= 1.0 and 0.0 <= py <= 1.0:
+                cases.append((ax, ay, bx, by, px, py))
+    cases += [(0.0, 0.0, 0.001, 0.0, 0.0005, 0.0005),      # border clamp
+              (0.9995, 0.9995, 1.0, 1.0, 0.9999, 0.9993)]
+    assert len(cases) > 1000
+    for ax, ay, bx, by, px, py in cases:
+        s = bbox_cover(min(ax, bx), min(ay, by), max(ax, bx), max(ay, by))
+        assert ring(px, py) & s, (ax, ay, bx, by, px, py)
+
+
 def test_step_levels_linear_not_exponential():
     """Every step lands on exactly one level, deps strictly earlier, and the
     rendered SQL stays linear in the step count (the lateral-alias form was
