@@ -289,6 +289,88 @@ def mollweide_authalic_steps(prefix: str, lon: str, lat: str) -> list[tuple[str,
     return steps
 
 
+# --------------------------------------------------- UTM (EPSG:32643) kernel
+def utm_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
+    """Forward EPSG:32643 (UTM zone 43N, WGS84) of the named world-window
+    columns into metre columns ``{prefix}_e`` / ``{prefix}_n`` — the
+    transform behind the reference's grid areas
+    (road_classification/01_create_india_grids.sql:96,
+    ST_Area(ST_Transform(grid_geom, 32643))).
+
+    Redfearn series: with t = tan(phi), C = e'^2 cos^2(phi),
+    A = dlam*cos(phi) and nu = a/sqrt(1 - e^2 sin^2 phi) (binomial series
+    — the argument is ~3e-4, three terms reach 1e-15 relative),
+
+        E = FE + k0*nu*(A + (1-T+C)A^3/6 + (5-18T+T^2+72C-58e'^2)A^5/120)
+        N = k0*(M(phi) + nu*t*(A^2/2 + (5-T+9C+4C^2)A^4/24
+                               + (61-58T+T^2+600C-330e'^2)A^6/720))
+
+    with M(phi) the Snyder 3-21 meridian arc (multiple angles via
+    double/compound identities from the base sin/cos polynomials).  At
+    this window dlam <= 3 deg so A <= 0.051 and the first omitted A^7
+    term is < 10 um — test_projection pins the kernel against a Karney
+    6th-order-n flattening-series reference to < 1 cm.  All four ops
+    only, so both engine renderings are the identical tree."""
+    p = prefix
+    steps: list[tuple[str, E]] = []
+    steps.append((f"{p}_phi",
+                  (lit(W.GEO_LAT0_DEG) + ref(lat)) * W.RAD_PER_DEG))
+    steps.append((f"{p}_dl",
+                  (lit(W.GEO_LON0_DEG - W.UTM_LON0_DEG) + ref(lon))
+                  * W.RAD_PER_DEG))
+    steps.append((f"{p}_usp", _sin_poly(ref(f"{p}_phi"))))
+    steps.append((f"{p}_ucp", _cos_poly(ref(f"{p}_phi"))))
+    sp, cp = ref(f"{p}_usp"), ref(f"{p}_ucp")
+    steps.append((f"{p}_us2", 2.0 * (sp * cp)))
+    steps.append((f"{p}_uc2", 1.0 - 2.0 * (sp * sp)))
+    s2, c2 = ref(f"{p}_us2"), ref(f"{p}_uc2")
+    steps.append((f"{p}_us4", 2.0 * (s2 * c2)))
+    steps.append((f"{p}_uc4", 1.0 - 2.0 * (s2 * s2)))
+    s4, c4 = ref(f"{p}_us4"), ref(f"{p}_uc4")
+    steps.append((f"{p}_us6", (s4 * c2) + (c4 * s2)))
+    steps.append((f"{p}_uM",
+                  lit(W.UTM_A) * (((lit(W.UTM_M0) * ref(f"{p}_phi")
+                                    - lit(W.UTM_M2) * s2)
+                                   + lit(W.UTM_M4) * s4)
+                                  - lit(W.UTM_M6) * ref(f"{p}_us6"))))
+    steps.append((f"{p}_uu", lit(W.UTM_E2) * (sp * sp)))
+    u = ref(f"{p}_uu")
+    steps.append((f"{p}_unu",
+                  lit(W.UTM_A) * ((1.0 + u / 2.0)
+                                  + ((u * u) * (3.0 / 8.0)
+                                     + ((u * u) * u) * (5.0 / 16.0)))))
+    steps.append((f"{p}_ut", sp / cp))
+    t = ref(f"{p}_ut")
+    steps.append((f"{p}_ut2", t * t))
+    steps.append((f"{p}_uC", lit(W.UTM_EP2) * (cp * cp)))
+    steps.append((f"{p}_uA", ref(f"{p}_dl") * cp))
+    A = ref(f"{p}_uA")
+    steps.append((f"{p}_uA2", A * A))
+    A2 = ref(f"{p}_uA2")
+    steps.append((f"{p}_uA3", A2 * A))
+    steps.append((f"{p}_uA4", A2 * A2))
+    steps.append((f"{p}_uA5", ref(f"{p}_uA4") * A))
+    steps.append((f"{p}_uA6", ref(f"{p}_uA4") * A2))
+    T, C = ref(f"{p}_ut2"), ref(f"{p}_uC")
+    nu = ref(f"{p}_unu")
+    ep2 = float(W.UTM_EP2)
+    steps.append((f"{p}_e",
+                  lit(W.UTM_FE) + lit(W.UTM_K0)
+                  * (nu * ((A + ((1.0 - T) + C) * (ref(f"{p}_uA3") / 6.0))
+                           + ((((5.0 - 18.0 * T) + T * T) + 72.0 * C)
+                              - 58.0 * ep2) * (ref(f"{p}_uA5") / 120.0)))))
+    steps.append((f"{p}_n",
+                  lit(W.UTM_K0)
+                  * (ref(f"{p}_uM")
+                     + (nu * t) * (((A2 / 2.0)
+                                    + (((5.0 - T) + 9.0 * C) + 4.0 * (C * C))
+                                    * (ref(f"{p}_uA4") / 24.0))
+                                   + ((((61.0 - 58.0 * T) + T * T)
+                                       + 600.0 * C) - 330.0 * ep2)
+                                   * (ref(f"{p}_uA6") / 720.0)))))
+    return steps
+
+
 # ---------------------------------------------------------- Mercator kernel
 def mercator_steps(prefix: str, lon: str, lat: str) -> list[tuple[str, E]]:
     """Forward EPSG:3857 Web-Mercator of the named world-window columns

@@ -277,6 +277,28 @@ MOLL_RQ = 6371007.1809184747                  # WGS84 authalic radius
 MOLL_RQ_KX = MOLL_RQ * (2.0 * MOLL_SQRT2) / MOLL_PI
 MOLL_RQ_KY = MOLL_RQ * MOLL_SQRT2
 
+# ------------------------------------------------- EPSG:32643 (UTM 43N)
+# The reference's grid areas run through ST_Transform(grid_geom, 32643)
+# (road_classification/01_create_india_grids.sql:96).  UTM 43N: WGS84
+# transverse Mercator, central meridian 75 E, k0 = 0.9996, false easting
+# 500 km.  The kernel uses the Redfearn series (powers of dlam*cos(phi)
+# through A^5 / A^6): at this window dlam <= 3 deg, so the first omitted
+# term is < 10 um — pinned by test_projection against a Karney
+# 6th-order-n reference.
+UTM_A = 6378137.0
+UTM_F = 1.0 / 298.257223563
+UTM_E2 = UTM_F * (2.0 - UTM_F)
+UTM_EP2 = UTM_E2 / (1.0 - UTM_E2)
+UTM_K0 = 0.9996
+UTM_FE = 500000.0
+UTM_LON0_DEG = 75.0
+# meridian-arc series coefficients (Snyder 3-21): M = a*(M0*phi
+# - M2*sin 2phi + M4*sin 4phi - M6*sin 6phi)
+UTM_M0 = 1.0 - UTM_E2 / 4.0 - 3.0 * UTM_E2 ** 2 / 64.0 - 5.0 * UTM_E2 ** 3 / 256.0
+UTM_M2 = 3.0 * UTM_E2 / 8.0 + 3.0 * UTM_E2 ** 2 / 32.0 + 45.0 * UTM_E2 ** 3 / 1024.0
+UTM_M4 = 15.0 * UTM_E2 ** 2 / 256.0 + 45.0 * UTM_E2 ** 3 / 1024.0
+UTM_M6 = 35.0 * UTM_E2 ** 3 / 3072.0
+
 # ------------------------------------------------ EPSG:3857 Web-Mercator
 # x = MERC_R * lam, y = MERC_R * atanh(sin phi) — the Pseudo-Mercator
 # definition uses the SPHERE of radius a (WGS84 semi-major), so the

@@ -86,6 +86,49 @@ def test_authalic_mollweide_accuracy_sub_cm():
         assert abs(env["p_y"] - ty) < 1e-2, (lon, lat)
 
 
+def test_utm_kernel_accuracy_sub_cm():
+    """EPSG:32643 Redfearn kernel vs the Karney 6th-order-n flattening
+    series (nanometre-accurate at this window) — the A^7 truncation plus
+    the binomial nu must stay < 1 cm across the world window."""
+    a = 6378137.0
+    f = 1.0 / 298.257223563
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    n = f / (2 - f)
+    A_ = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    al = [0.0,
+          n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+          - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+          13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+          + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+          61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+          + 167603 * n**6 / 181440,
+          49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+          34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+          212378941 * n**6 / 319334400]
+
+    def karney(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        lam = math.radians(lon_deg - W.UTM_LON0_DEG)
+        t = math.sinh(math.atanh(math.sin(phi))
+                      - e * math.atanh(e * math.sin(phi)))
+        xip = math.atan2(t, math.cos(lam))
+        etap = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+        xi = xip + sum(al[j] * math.sin(2 * j * xip) * math.cosh(2 * j * etap)
+                       for j in range(1, 7))
+        eta = etap + sum(al[j] * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
+                         for j in range(1, 7))
+        return W.UTM_FE + W.UTM_K0 * A_ * eta, W.UTM_K0 * A_ * xi
+
+    for lon, lat in [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+                     (0.5, 0.5), (0.25, 0.75)]:
+        env = _eval_steps(P.utm_steps("p", "lon", "lat"),
+                          {"lon": lon, "lat": lat})
+        te, tn = karney(W.GEO_LON0_DEG + lon, W.GEO_LAT0_DEG + lat)
+        assert abs(env["p_e"] - te) < 1e-2, (lon, lat, env["p_e"] - te)
+        assert abs(env["p_n"] - tn) < 1e-2, (lon, lat, env["p_n"] - tn)
+
+
 def test_mercator_kernel_accuracy_sub_um():
     """x = R*lam is algebraically exact; y = R*atanh(sin phi) through the
     truncated sin/atanh series must sit far inside the mm quantization —
