@@ -58,7 +58,8 @@ def _way_lengths(segs: DataFrame) -> DataFrame:
         )).alias("total_len_um"))
 
 
-def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame:
+def intersection_degradation(way_nodes: DataFrame, segs: DataFrame,
+                             way_pred=None) -> DataFrame:
     """Per-way speed degradation from the intersections it passes through.
 
     Stages: qualifying-intersection detection (A6) -> top-2 road-type pivot
@@ -67,6 +68,13 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
     two-branch combiner: long ways take the integer average reduction, short
     ways the multiplicative stack ``1 - PROD(1 - r)`` (computed as a sorted
     fold so the float product is deterministic).
+
+    ``way_pred`` (optional Column over per-edge cols, e.g. on ``highway``)
+    filters the per-WAY rollup side only: node-level intersection stats
+    stay GLOBAL (a node qualifies based on ALL ways sharing it), so
+    per-way values for surviving ways are unchanged — exactness-preserving
+    when the caller consumes only ways matching the predicate (q46's
+    BIKABLE pushdown).  ``segs`` may be pre-filtered the same way.
     """
     # Two-phase aggregate: dedup to (node, way) first so the node-level pass
     # needs only ONE distinct (highway) — avoids Catalyst's Expand (x3 rows
@@ -115,7 +123,8 @@ def intersection_degradation(way_nodes: DataFrame, segs: DataFrame) -> DataFrame
     # product bit-identical to the oracle's list_sort + list_reduce.
     omr_vals = sorted({1.0 - v for v in W.DEGRADE_RED.values()}
                       | {1.0 - 2 * v for v in W.DEGRADE_RED.values()})
-    wn = per_edge.select(F.col("way_id").alias("osm_id"), "node_id")
+    rollup_side = per_edge if way_pred is None else per_edge.filter(way_pred)
+    wn = rollup_side.select(F.col("way_id").alias("osm_id"), "node_id")
     cnt_cols = [F.sum(F.when(L(1.0) - F.col("red") == L(v), 1).otherwise(0))
                 .alias(f"c{i}") for i, v in enumerate(omr_vals)]
     per_way = (wn.join(nodes, "node_id")

@@ -3158,26 +3158,37 @@ def q46_persona_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfl = P.spark_fl
     r = world.roads_materialized(spark, sf_dir)
+    # BIKABLE pushdown (the q58 lesson applied back to v2): the spine keeps
+    # only BIKABLE highways (75% selectivity at sf0.1), every branch is
+    # per-osm_id, and the two semantically-global sides are preserved
+    # explicitly — the NH/SH highway source of hadj (an out-of-scope
+    # highway can upgrade a bikable road) and degradation's node-level
+    # intersection stats (a node qualifies based on ALL ways sharing it) —
+    # so pre-filtering each branch's ROAD side is exactness-preserving.
+    # The filtered set is NOT checkpointed (wide; the q58 negative result).
+    bik_pred = F.col("highway").isin(W.BIKABLE)
+    r_bik = r.filter(bik_pred)
     # segments/way_nodes feed six branches; re-deriving the explode per
     # branch is CHEAPER than materializing it once (measured: localCheckpoint
     # of the exploded tables cost ~1.7x — the narrow fan-out from compact
     # parquet recomputes faster than a serialize+reread, and checkpoint
     # barriers break whole-stage fusion in every consumer)
-    s = world.segments(spark, sf_dir, r)
+    s = world.segments(spark, sf_dir, r_bik)
     g = world.grids(spark)
-    wn = world.way_nodes(spark, sf_dir, r)
+    wn_global = world.way_nodes(spark, sf_dir, r)   # degradation node stats
+    wn = world.way_nodes(spark, sf_dir, r_bik)
     feats = world.features(spark, sf_dir)
 
-    bik = r.filter(F.col("highway").isin(W.BIKABLE)) \
-           .select("osm_id", "highway", "ref", "lanes", "oneway")
-    hadj = q09_endpoint_proximity_upgrade(spark, sf_dir) \
+    bik = r_bik.select("osm_id", "highway", "ref", "lanes", "oneway")
+    hadj = _endpoint_proximity_upgrade(r, r_bik) \
         .select("osm_id", "hadj_upgrade")
-    setting = classify.classify_roads(r, s, g).select("osm_id", "road_setting")
-    tw = q08_curvature(spark, sf_dir).select("osm_id", "twist_permille")
-    dg = scoring.intersection_degradation(wn, s) \
+    setting = classify.classify_roads(r_bik, s, g) \
+        .select("osm_id", "road_setting")
+    tw = _curvature_rollup(r_bik).select("osm_id", "twist_permille")
+    dg = scoring.intersection_degradation(wn_global, s, way_pred=bik_pred) \
         .select("osm_id", "final_red_ppm")
     mid = (F.floor(F.size("vertices") / 2) + 1).cast("int")
-    rep = r.select(
+    rep = r_bik.select(
         "osm_id",
         cells.cell_of_point(F.element_at("vertices", mid)["lon"],
                             F.element_at("vertices", mid)["lat"])
