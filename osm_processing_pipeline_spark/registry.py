@@ -31,6 +31,35 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def _apply_ladder(spark: SparkSession, df: DataFrame,
+                  stages: tuple[dict[str, str], ...], view: str) -> DataFrame:
+    """Apply an expression-ladder (each stage's columns reference the
+    previous stage's) as ONE spark.sql CTE chain over a temp view.
+
+    Every Dataset creation re-runs the analyzer over its FULL logical plan,
+    so a per-stage selectExpr loop re-analyzes the deep join tree once per
+    stage (~4-5 s of driver time for q46's 4-stage ladder at sf0.1 —
+    CLAUDE.md round-5 notes).  Checkpointing before the ladder to shorten
+    the tree was a measured NEGATIVE (barrier + serialize cost more,
+    BENCH.md); a single SQL statement analyzes the tree once with no
+    barrier.  Set SPARK_GRAFT_LADDER_LOOP=1 to fall back to the per-stage
+    loop (A/B escape hatch)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LADDER_LOOP") == "1":
+        d = df
+        for stage in stages:
+            d = d.selectExpr("*", *[f"{e} AS {c}" for c, e in stage.items()])
+        return d
+    df.createOrReplaceTempView(view)
+    ctes, prev = [], view
+    for i, stage in enumerate(stages):
+        cols = ",\n       ".join(f"{e} AS {c}" for c, e in stage.items())
+        ctes.append(f"_s{i} AS (SELECT *,\n       {cols}\nFROM {prev})")
+        prev = f"_s{i}"
+    return spark.sql("WITH " + ",\n".join(ctes) + f"\nSELECT * FROM {prev}")
+
+
 # --------------------------------------------------------------------- q01
 def _sql_road_type(r: str = "r") -> str:
     hw_list = ", ".join(f"'{h}'" for h in ("motorway", "trunk"))
@@ -3242,18 +3271,19 @@ def q46_persona_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("forest_px", F.lit(0)).cast("long").alias("forest_px"),
         F.coalesce("field_px", F.lit(0)).cast("long").alias("field_px"),
         (F.coalesce("forest_px", F.lit(0)) + F.coalesce("field_px", F.lit(0)))
-        .cast("long").alias("total_px"))
-    inputs = inputs.withColumn("fourlane", F.expr(
-        "CASE WHEN UPPER(COALESCE(oneway, '')) IN ('YES', 'TRUE', '1', '-1') "
-        "AND COALESCE(CAST(NULLIF(regexp_extract(lanes, '([0-9]+)', 1), '') "
-        "AS INT), 0) >= 2 THEN 'yes' ELSE 'no' END"))
-    d = inputs
-    # one projection per stage (not one withColumn per column: each
-    # withColumn copies the whole logical plan, and the ladders are
-    # ~20 columns deep — batching them cuts driver-side analysis)
-    for stage in (P.derived_exprs(sfl), P.param_exprs(sfl),
-                  P.param2_exprs(sfl), P.persona_exprs(sfl)):
-        d = d.selectExpr("*", *[f"{e} AS {c}" for c, e in stage.items()])
+        .cast("long").alias("total_px"),
+        # fourlane lives in the same projection — a separate withColumn
+        # would re-run the analyzer over the full 10-join tree once more
+        F.expr(
+            "CASE WHEN UPPER(COALESCE(oneway, '')) IN ('YES', 'TRUE', '1', '-1') "
+            "AND COALESCE(CAST(NULLIF(regexp_extract(lanes, '([0-9]+)', 1), '') "
+            "AS INT), 0) >= 2 THEN 'yes' ELSE 'no' END").alias("fourlane"))
+    # the whole 4-stage ladder as ONE analyzed statement (see _apply_ladder:
+    # a per-stage selectExpr loop re-analyzes the deep join tree per stage)
+    d = _apply_ladder(spark, inputs,
+                      (P.derived_exprs(sfl), P.param_exprs(sfl),
+                       P.param2_exprs(sfl), P.persona_exprs(sfl)),
+                      "_q46_inputs")
     # two-pass normalization: materialize once (lineage truncation), collect
     # global bounds on the driver, fold back as literals
     # (persona_v2_run.py:264-339)
@@ -4376,11 +4406,11 @@ def q58_persona_v1_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("twist_permille", F.lit(0)).alias("twist_permille"),
         F.coalesce("geo_len_um", F.lit(0)).alias("geo_len_um"),
         n_scenery.alias("n_scenery"))
-    d = inputs
-    # one projection per stage (the q46 batching note applies here too)
-    for stage in (P.v1_factor_exprs(sfl), P.v1_raw_exprs(sfl),
-                  P.v1_base_exprs(sfl)):
-        d = d.selectExpr("*", *[f"{e} AS {c}" for c, e in stage.items()])
+    # the 3-stage ladder as ONE analyzed statement (the q46 note applies)
+    d = _apply_ladder(spark, inputs,
+                      (P.v1_factor_exprs(sfl), P.v1_raw_exprs(sfl),
+                       P.v1_base_exprs(sfl)),
+                      "_q58_inputs")
     out_cols = [F.col("osm_id"), F.col("road_type_i1"),
                 F.col("n_scenery").cast("long").alias("n_scenery")]
     for c in P.V1_FACTOR_COLS:
