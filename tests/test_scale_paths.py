@@ -56,3 +56,23 @@ def test_cc_edges_dense_blob_takes_distributed_path(spark, monkeypatch):
     got2 = {r.grid_id: r.component for r in out2.collect()}
     assert called["driver"] == 1
     assert got2 == got
+
+
+def test_apply_ladder_sql_matches_loop(spark, monkeypatch):
+    """_apply_ladder's one-SQL CTE chain must be column-for-column identical
+    to the per-stage selectExpr loop it replaces (SPARK_GRAFT_LADDER_LOOP=1
+    is the A/B escape hatch — keep both paths honest)."""
+    from osm_processing_pipeline_spark.registry import _apply_ladder
+
+    df = spark.createDataFrame(
+        [(1, 10, 3), (2, 7, -4), (3, 0, 0)], "id long, a long, b long")
+    stages = ({"s1": "a + b", "s2": "CASE WHEN a > b THEN a ELSE b END"},
+              {"s3": "s1 * s2 + id"},
+              {"s4": "s3 - s1"})
+    monkeypatch.delenv("SPARK_GRAFT_LADDER_LOOP", raising=False)
+    got_sql = _apply_ladder(spark, df, stages, "_t_ladder").orderBy("id")
+    monkeypatch.setenv("SPARK_GRAFT_LADDER_LOOP", "1")
+    got_loop = _apply_ladder(spark, df, stages, "_t_ladder").orderBy("id")
+    assert got_sql.columns == got_loop.columns == [
+        "id", "a", "b", "s1", "s2", "s3", "s4"]
+    assert got_sql.collect() == got_loop.collect()
