@@ -109,7 +109,8 @@ BROADCAST_PIXEL_MAX = 1 << 21
 
 def sample_points(tiles: DataFrame, pts: DataFrame,
                   with_built: bool = False,
-                  n_tiles: int | None = None) -> DataFrame:
+                  n_tiles: int | None = None,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """ST_Value(rast, point): pts(osm_id, lon, lat) -> (osm_id, pop_value
     [, built_value]).
 
@@ -127,12 +128,16 @@ def sample_points(tiles: DataFrame, pts: DataFrame,
     ``with_built`` gathers the second band in the same pass (the hill chain
     samples its DEM-relief and slope rasters at the same points,
     hill_v2/03_compute_slope_metrics.sql:20-57).  ``n_tiles`` defaults to
-    the ACTUAL tile count of the input (see ``_tile_count``)."""
+    the ACTUAL tile count of the input (see ``_tile_count``).  ``carry``
+    names extra ``pts`` columns forwarded through the gather unchanged —
+    per-road constants a caller can then fold into its post-gather
+    aggregate instead of re-executing the point-generation subtree for a
+    second aggregate + join (the q44 shape)."""
     px = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
                                       F.floor(F.col("lon") * W.RASTER_PX).cast("long")))
     py = F.greatest(F.lit(0), F.least(F.lit(W.RASTER_PX - 1),
                                       F.floor(F.col("lat") * W.RASTER_PX).cast("long")))
-    keyed = pts.select("osm_id", (py * W.RASTER_PX + px).alias("pid"))
+    keyed = pts.select("osm_id", *carry, (py * W.RASTER_PX + px).alias("pid"))
     cols = ["pid", "pop_value"] + (["built_value"] if with_built else [])
     pix = raster_pixels(tiles).select(*cols)
     if _tile_count(tiles, n_tiles) * W.TILE_PX * W.TILE_PX <= BROADCAST_PIXEL_MAX:
@@ -142,7 +147,8 @@ def sample_points(tiles: DataFrame, pts: DataFrame,
         # shuffle hash join — sort-merge would sort the full pixel table for
         # a gather that only needs bucketed lookups
         pix = pix.hint("shuffle_hash")
-    out_cols = ["osm_id", "pop_value"] + (["built_value"] if with_built else [])
+    out_cols = (["osm_id", *carry, "pop_value"]
+                + (["built_value"] if with_built else []))
     return keyed.join(pix, "pid").select(*out_cols)
 
 

@@ -2564,16 +2564,21 @@ def q44_hill_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = world.roads_materialized(spark, sf_dir)
     samples = zonal.line_interpolated_samples(r)
+    # per-road constants (total_um, n_samples) ride THROUGH the gather so
+    # ONE post-gather aggregate replaces the old two-aggregate + join shape
+    # (which executed the sampling subtree twice); the gather is an inner
+    # 1:1 join against the complete (clamped) pixel table, so the row set
+    # per road is unchanged and min(constant) == the constant
     vals = zonal.sample_points(
-        raster_tiles(spark), samples.select("osm_id", "lon", "lat"),
-        with_built=True)
+        raster_tiles(spark),
+        samples.select("osm_id", "lon", "lat", "total_um", "n_samples"),
+        with_built=True, carry=("total_um", "n_samples"))
     sums = vals.groupBy("osm_id").agg(
+        F.min("total_um").cast("long").alias("total_len_um"),
+        F.min("n_samples").cast("long").alias("n_samples"),
         F.sum("pop_value").cast("long").alias("relief_sum"),
         F.sum("built_value").cast("long").alias("slope_sum"))
-    attrs = samples.groupBy("osm_id").agg(
-        F.min("total_um").cast("long").alias("total_len_um"),
-        F.min("n_samples").cast("long").alias("n_samples"))
-    relief = (attrs.join(sums, "osm_id")
+    relief = (sums
               .select("osm_id", "total_len_um", "n_samples",
                       (F.col("total_len_um") >= W.RELIEF_LONG_UM).alias("is_long"),
                       "relief_sum",
