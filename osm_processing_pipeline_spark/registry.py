@@ -45,19 +45,27 @@ def _apply_ladder(spark: SparkSession, df: DataFrame,
     barrier.  Set SPARK_GRAFT_LADDER_LOOP=1 to fall back to the per-stage
     loop (A/B escape hatch)."""
     import os
+    import uuid
 
     if os.environ.get("SPARK_GRAFT_LADDER_LOOP") == "1":
         d = df
         for stage in stages:
             d = d.selectExpr("*", *[f"{e} AS {c}" for c, e in stage.items()])
         return d
+    # unique suffix: temp views are session-scoped, so a fixed name would
+    # race if two runs of the same query share one SparkSession
+    view = f"{view}_{uuid.uuid4().hex[:8]}"
     df.createOrReplaceTempView(view)
     ctes, prev = [], view
     for i, stage in enumerate(stages):
         cols = ",\n       ".join(f"{e} AS {c}" for c, e in stage.items())
         ctes.append(f"_s{i} AS (SELECT *,\n       {cols}\nFROM {prev})")
         prev = f"_s{i}"
-    return spark.sql("WITH " + ",\n".join(ctes) + f"\nSELECT * FROM {prev}")
+    out = spark.sql("WITH " + ",\n".join(ctes) + f"\nSELECT * FROM {prev}")
+    # Dataset analysis is eager, so the view's plan is already inlined —
+    # drop it to keep the session catalog clean across repeated runs
+    spark.catalog.dropTempView(view)
+    return out
 
 
 # --------------------------------------------------------------------- q01
