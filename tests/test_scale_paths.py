@@ -76,3 +76,23 @@ def test_apply_ladder_sql_matches_loop(spark, monkeypatch):
     assert got_sql.columns == got_loop.columns == [
         "id", "a", "b", "s1", "s2", "s3", "s4"]
     assert got_sql.collect() == got_loop.collect()
+
+
+def test_sample_points_gather_is_one_to_one(spark):
+    """q44's single-aggregate shape folds per-road constants into the
+    post-gather aggregate, which is exactness-preserving ONLY because the
+    gather is an inner 1:1 join: every sample's clamped pixel id hits
+    exactly one row of the complete pixel table.  Pin that invariant."""
+    from osm_processing_pipeline_spark.datagen import world
+
+    sf = "/root/testdata/sf0.001"
+    samples = zonal.line_interpolated_samples(
+        world.roads_materialized(spark, sf))
+    vals = zonal.sample_points(
+        raster_tiles(spark),
+        samples.select("osm_id", "lon", "lat", "total_um", "n_samples"),
+        with_built=True, carry=("total_um", "n_samples"))
+    assert vals.count() == samples.count()
+    # carried columns are per-road constants: one distinct value per road
+    assert (vals.select("osm_id", "total_um", "n_samples").distinct().count()
+            == samples.select("osm_id").distinct().count())
