@@ -69,18 +69,38 @@ def df_filter(sets: DataFrame, key: str = "shingle",
 
 
 def jaccard_pairs(sets: DataFrame, key: str = "shingle",
-                  min_permille: int = 0) -> DataFrame:
-    """All-pairs Jaccard over (doc_id, key) set rows; pairs must share >= 1
-    key.  Returns (doc_a, doc_b, inter_cnt, union_cnt, jaccard_permille)."""
+                  min_permille: int = 0,
+                  pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over (doc_id, key) set rows.
+
+    Without ``pairs``: all pairs sharing >= 1 key via a key self-join — the
+    caller must bound key fan-out first (``df_filter``), or hot keys go
+    quadratic.  With ``pairs`` (distinct (doc_a, doc_b), doc_a < doc_b): the
+    self-join is replaced by two equi-joins THROUGH the candidate list, so
+    cost is |pairs| x set size, independent of key document frequency — the
+    scale path for verifying LSH candidates, where a token shared by half
+    the corpus would otherwise fan out as n^2/2 rows (5k docs hide this;
+    500k do not — BENCH.md 100x-docs rehearsal).  A candidate pair sharing
+    zero keys yields no row in either mode (inner-join semantics).
+    Returns (doc_a, doc_b, inter_cnt, union_cnt, jaccard_permille)."""
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sets.select(F.col("doc_id").alias("doc_a"), key)
     b = sets.select(F.col("doc_id").alias("doc_b"), key)
-    inter = (
-        a.join(b, key)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_cnt"))
-    )
+    if pairs is None:
+        inter = (
+            a.join(b, key)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter_cnt"))
+        )
+    else:
+        inter = (
+            pairs.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, ["doc_b", key])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter_cnt"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = (
@@ -125,9 +145,16 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(docs: DataFrame) -> DataFrame:
-    """LSH candidates verified with exact unigram Jaccard."""
+    """LSH candidates verified with exact unigram Jaccard.
+
+    The verify runs candidates-first (``jaccard_pairs(pairs=cand)``): the
+    final result is inner-joined with the candidate list either way, so
+    restricting the exact-Jaccard computation to candidate pairs is
+    plan-only — identical output, but the all-pairs token self-join (which
+    is quadratic in token document frequency and CANNOT be df-filtered here,
+    exact Jaccard needs every token) never materializes."""
     cand = lsh_candidate_pairs(minhash_signatures(docs))
-    jac = jaccard_pairs(doc_tokens(docs), key="tok")
+    jac = jaccard_pairs(doc_tokens(docs), key="tok", pairs=cand)
     return cand.join(jac, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "shared_bands", "inter_cnt", "union_cnt",
         "jaccard_permille")

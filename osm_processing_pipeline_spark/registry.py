@@ -32,7 +32,8 @@ def register(name: str, sql: str | None = None):
 
 
 def _apply_ladder(spark: SparkSession, df: DataFrame,
-                  stages: tuple[dict[str, str], ...], view: str) -> DataFrame:
+                  stages: tuple[dict[str, str], ...], view: str,
+                  final: list[str] | None = None) -> DataFrame:
     """Apply an expression-ladder (each stage's columns reference the
     previous stage's) as ONE spark.sql CTE chain over a temp view.
 
@@ -43,7 +44,14 @@ def _apply_ladder(spark: SparkSession, df: DataFrame,
     the tree was a measured NEGATIVE (barrier + serialize cost more,
     BENCH.md); a single SQL statement analyzes the tree once with no
     barrier.  Set SPARK_GRAFT_LADDER_LOOP=1 to fall back to the per-stage
-    loop (A/B escape hatch)."""
+    loop (A/B escape hatch).
+
+    `final` (optional, selectExpr-style "expr AS name" strings) folds the
+    caller's output projection into the SAME statement — a trailing
+    `d.select(...)` on the returned Dataset would re-analyze the full tree
+    once more (q58 pays ~1 s of driver time at sf0.1 without it; q46's
+    trailing select sits behind a localCheckpoint, so folding buys
+    nothing there)."""
     import os
     import uuid
 
@@ -51,7 +59,7 @@ def _apply_ladder(spark: SparkSession, df: DataFrame,
         d = df
         for stage in stages:
             d = d.selectExpr("*", *[f"{e} AS {c}" for c, e in stage.items()])
-        return d
+        return d.selectExpr(*final) if final else d
     # unique suffix: temp views are session-scoped, so a fixed name would
     # race if two runs of the same query share one SparkSession
     view = f"{view}_{uuid.uuid4().hex[:8]}"
@@ -61,7 +69,9 @@ def _apply_ladder(spark: SparkSession, df: DataFrame,
         cols = ",\n       ".join(f"{e} AS {c}" for c, e in stage.items())
         ctes.append(f"_s{i} AS (SELECT *,\n       {cols}\nFROM {prev})")
         prev = f"_s{i}"
-    out = spark.sql("WITH " + ",\n".join(ctes) + f"\nSELECT * FROM {prev}")
+    tail = ",\n       ".join(final) if final else "*"
+    out = spark.sql("WITH " + ",\n".join(ctes)
+                    + f"\nSELECT {tail}\nFROM {prev}")
     # Dataset analysis is eager, so the view's plan is already inlined —
     # drop it to keep the session catalog clean across repeated runs
     spark.catalog.dropTempView(view)
@@ -4419,19 +4429,20 @@ def q58_persona_v1_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("twist_permille", F.lit(0)).alias("twist_permille"),
         F.coalesce("geo_len_um", F.lit(0)).alias("geo_len_um"),
         n_scenery.alias("n_scenery"))
-    # the 3-stage ladder as ONE analyzed statement (the q46 note applies)
-    d = _apply_ladder(spark, inputs,
-                      (P.v1_factor_exprs(sfl), P.v1_raw_exprs(sfl),
-                       P.v1_base_exprs(sfl)),
-                      "_q58_inputs")
-    out_cols = [F.col("osm_id"), F.col("road_type_i1"),
-                F.col("n_scenery").cast("long").alias("n_scenery")]
+    # the 3-stage ladder AND the output projection as ONE analyzed
+    # statement (the q46 note applies; a trailing .select() would
+    # re-analyze the full 8-join tree once more)
+    out_cols = ["osm_id", "road_type_i1",
+                "CAST(n_scenery AS BIGINT) AS n_scenery"]
     for c in P.V1_FACTOR_COLS:
-        out_cols.append(F.expr(P.quant(sfl, c)).alias(f"{c[2:]}_micro"))
+        out_cols.append(f"{P.quant(sfl, c)} AS {c[2:]}_micro")
     for c in P.V1_PERSONA_COLS:
-        out_cols.append(F.expr(P.quant(sfl, f"{c}_base"))
-                        .alias(f"{c.replace('v1_', '')}_base_micro"))
-    return d.select(*out_cols)
+        out_cols.append(f"{P.quant(sfl, f'{c}_base')} "
+                        f"AS {c.replace('v1_', '')}_base_micro")
+    return _apply_ladder(spark, inputs,
+                         (P.v1_factor_exprs(sfl), P.v1_raw_exprs(sfl),
+                          P.v1_base_exprs(sfl)),
+                         "_q58_inputs", final=out_cols)
 
 
 ORACLES["q58_persona_v1_simplified"] = _q58_sql()

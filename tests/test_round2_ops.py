@@ -51,6 +51,23 @@ def test_df_filter_drops_hot_keys(spark):
     assert pairs.iloc[0]["jaccard_permille"] == 1000   # rare-only sets equal
 
 
+def test_jaccard_pairs_candidate_mode_matches_self_join(spark):
+    """pairs= mode (the LSH-verify scale path) must be row-identical to the
+    all-pairs self-join when the candidate list covers every sharing pair —
+    including dropping a candidate pair that shares zero keys."""
+    rows = [("a", 1), ("a", 2), ("a", 3),
+            ("b", 2), ("b", 3), ("b", 4),
+            ("c", 9)]                      # c shares nothing with a or b
+    sets = spark.createDataFrame(rows, "doc_id string, tok int")
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "doc_a string, doc_b string")
+    full = {tuple(r) for r in
+            dedup.jaccard_pairs(sets, key="tok").collect()}
+    via = {tuple(r) for r in
+           dedup.jaccard_pairs(sets, key="tok", pairs=cand).collect()}
+    assert via == full == {("a", "b", 2, 4, 500)}
+
+
 def test_line_samples_counts_and_midpoint(spark):
     # a straight 2-vertex way of length ~1087 m -> 3 samples at t=1/6,3/6,5/6
     verts = [{"seq": 0, "lon": 0.25, "lat": 0.25, "node_id": 1},

@@ -76,6 +76,17 @@ def test_apply_ladder_sql_matches_loop(spark, monkeypatch):
     assert got_sql.columns == got_loop.columns == [
         "id", "a", "b", "s1", "s2", "s3", "s4"]
     assert got_sql.collect() == got_loop.collect()
+    # the folded output projection (q58's shape) must match a trailing
+    # select on both paths too
+    final = ["id", "s4 * 2 AS s4x2", "CAST(s1 AS BIGINT) AS s1_l"]
+    got_loop_f = _apply_ladder(spark, df, stages, "_t_ladder",
+                               final=final).orderBy("id")
+    monkeypatch.delenv("SPARK_GRAFT_LADDER_LOOP", raising=False)
+    got_sql_f = _apply_ladder(spark, df, stages, "_t_ladder",
+                              final=final).orderBy("id")
+    assert got_sql_f.columns == got_loop_f.columns == ["id", "s4x2", "s1_l"]
+    assert (got_sql_f.collect() == got_loop_f.collect()
+            == got_sql.selectExpr(*final).orderBy("id").collect())
 
 
 def test_sample_points_gather_is_one_to_one(spark):
