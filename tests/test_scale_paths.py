@@ -89,6 +89,41 @@ def test_apply_ladder_sql_matches_loop(spark, monkeypatch):
             == got_sql.selectExpr(*final).orderBy("id").collect())
 
 
+def test_ivf_arrow_kernels_match_catalyst_pair(spark):
+    """The vectorized IVF kernels (_assign_lists, _centroid_partials) must
+    be integer-identical to the Catalyst _score_cols/_argmin2 pair they
+    replaced (the HOF pair is CodegenFallback and walled q39 at 10x scale;
+    it stays alive HERE as the equivalence oracle — its SQL rendering is
+    also what the DuckDB twin unrolls, so this test is the bridge that
+    keeps the Arrow path twin-exact)."""
+    from osm_processing_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.train_ivf_centroids(emb, n_lists=8)
+    q = (sim._quantized(emb).filter(F.col("nrm") > 0)
+         .select("vec_id", "qv"))
+
+    # assignment: best + second-best centroid, smallest-j ties
+    best_j, sec_j = sim._argmin2(
+        [F.col(f"s{j}") for j in range(len(cents))])
+    ref = (q.select("vec_id", *sim._score_cols(cents))
+           .select("vec_id", best_j.alias("list_id"), sec_j.alias("probe2")))
+    got = sim._assign_lists(q, cents)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(ref)
+
+    # recenter input: per-(cluster, dim) sums and member counts
+    ref_stats = (q.select("qv", *sim._score_cols(cents))
+                 .select(best_j.alias("j"),
+                         F.posexplode("qv").alias("i", "x"))
+                 .groupBy("j", "i")
+                 .agg(F.sum("x").alias("s"), F.count("*").alias("n")))
+    got_stats = (sim._centroid_partials(q, cents)
+                 .groupBy("j", "i")
+                 .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    assert key(got_stats) == key(ref_stats)
+
+
 def test_sample_points_gather_is_one_to_one(spark):
     """q44's single-aggregate shape folds per-road constants into the
     post-gather aggregate, which is exactness-preserving ONLY because the
