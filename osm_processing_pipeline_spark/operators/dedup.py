@@ -70,7 +70,8 @@ def df_filter(sets: DataFrame, key: str = "shingle",
 
 def jaccard_pairs(sets: DataFrame, key: str = "shingle",
                   min_permille: int = 0,
-                  pairs: DataFrame | None = None) -> DataFrame:
+                  pairs: DataFrame | None = None,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """Exact Jaccard over (doc_id, key) set rows.
 
     Without ``pairs``: all pairs sharing >= 1 key via a key self-join — the
@@ -82,34 +83,63 @@ def jaccard_pairs(sets: DataFrame, key: str = "shingle",
     the corpus would otherwise fan out as n^2/2 rows (5k docs hide this;
     500k do not — BENCH.md 100x-docs rehearsal).  A candidate pair sharing
     zero keys yields no row in either mode (inner-join semantics).
-    Returns (doc_a, doc_b, inter_cnt, union_cnt, jaccard_permille)."""
-    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sets.select(F.col("doc_id").alias("doc_a"), key)
-    b = sets.select(F.col("doc_id").alias("doc_b"), key)
+
+    ``carry`` names per-pair-constant columns of ``pairs`` to ride the pair
+    row through the verify, so the caller never re-joins the candidate
+    table against its own verify output (a pairs x pairs shuffle; with a
+    degenerate corpus the candidate set is ~n^2/2 rows, so that join was
+    the single most expensive exchange in q16 — BENCH.md round-5 notes).
+
+    Candidate mode computes the intersection as
+    ``size(array_intersect(ta, tb))`` over per-doc key ARRAYS joined onto
+    the pair row — per-row whole-stage codegen, NO pair re-aggregation —
+    instead of fanning each pair out x set_size through two row-level
+    equi-joins and a groupBy (measured 31 -> 17 s on q16's 7.5M pairs at
+    sf0.1; values bit-identical).  The key-array dim is O(corpus), never
+    broadcast by hand — Catalyst's size gate picks broadcast while it fits
+    and shuffle-hash beyond.  ``inter_cnt >= 1`` preserves the self-join
+    mode's inner semantics (a candidate pair sharing zero keys — possible
+    via minhash collision — yields no row in either mode).
+    Returns (doc_a, doc_b, *carry, inter_cnt, union_cnt, jaccard_permille)."""
     if pairs is None:
+        assert not carry, "carry requires a candidate pairs frame"
+        sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sets.select(F.col("doc_id").alias("doc_a"), key)
+        b = sets.select(F.col("doc_id").alias("doc_b"), key)
         inter = (
             a.join(b, key)
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("inter_cnt"))
         )
-    else:
-        inter = (
-            pairs.select("doc_a", "doc_b")
-            .join(a, "doc_a")
-            .join(b, ["doc_b", key])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter_cnt"))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        j = (
+            inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("union_cnt",
+                        F.col("na") + F.col("nb") - F.col("inter_cnt"))
+            .withColumn("jaccard_permille",
+                        F.expr("CAST((inter_cnt * 1000) DIV union_cnt"
+                               " AS BIGINT)"))
         )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
-        .withColumn("jaccard_permille",
-                    F.expr("CAST((inter_cnt * 1000) DIV union_cnt AS BIGINT)"))
-    )
-    out = j.select("doc_a", "doc_b",
+    else:
+        arrs = sets.groupBy("doc_id").agg(F.collect_list(key).alias("ks"))
+        ta = arrs.select(F.col("doc_id").alias("doc_a"), F.col("ks").alias("ta"))
+        tb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("ks").alias("tb"))
+        j = (
+            pairs.select("doc_a", "doc_b", *carry)
+            .join(ta, "doc_a").join(tb, "doc_b")
+            .withColumn("inter_cnt",
+                        F.size(F.array_intersect("ta", "tb")).cast("long"))
+            .filter(F.col("inter_cnt") >= 1)
+            .withColumn("union_cnt",
+                        (F.size("ta") + F.size("tb")).cast("long")
+                        - F.col("inter_cnt"))
+            .withColumn("jaccard_permille",
+                        F.expr("CAST((inter_cnt * 1000) DIV union_cnt"
+                               " AS BIGINT)"))
+        )
+    out = j.select("doc_a", "doc_b", *carry,
                    F.col("inter_cnt").cast("long").alias("inter_cnt"),
                    F.col("union_cnt").cast("long").alias("union_cnt"),
                    "jaccard_permille")
@@ -152,10 +182,21 @@ def minhash_lsh_dedup(docs: DataFrame) -> DataFrame:
     restricting the exact-Jaccard computation to candidate pairs is
     plan-only — identical output, but the all-pairs token self-join (which
     is quadratic in token document frequency and CANNOT be df-filtered here,
-    exact Jaccard needs every token) never materializes."""
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
-    jac = jaccard_pairs(doc_tokens(docs), key="tok", pairs=cand)
-    return cand.join(jac, ["doc_a", "doc_b"]).select(
+    exact Jaccard needs every token) never materializes.  ``shared_bands``
+    rides THROUGH the verify aggregate (``carry``) instead of re-joining
+    cand against jac afterwards: with a low-entropy corpus LSH buckets
+    collapse (the 31-token sf0.1 seed puts 77% of docs in ONE bucket per
+    band, 7.5M candidate pairs of 12.5M possible), so the candidate subtree
+    is ~n^2/2 rows and anything that runs it twice — or shuffles two copies
+    of it into a pairs x pairs join — doubles the query (64 -> 29 s at
+    sf0.1, BENCH.md).  The 5k-row signature table is checkpointed: the
+    band self-join otherwise recomputes the token explode + 16-min
+    aggregate for both sides."""
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(sigs)
+    jac = jaccard_pairs(doc_tokens(docs), key="tok", pairs=cand,
+                        carry=("shared_bands",))
+    return jac.select(
         "doc_a", "doc_b", "shared_bands", "inter_cnt", "union_cnt",
         "jaccard_permille")
 
