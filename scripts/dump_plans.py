@@ -122,6 +122,31 @@ def main() -> None:
         similarity.brute_force_topk(
             spark.read.parquet(f"{SF}/embeddings.parquet"), 3))
 
+    add("q39 trained-IVF ANN (GEMM assign/train/refine)",
+        "FAISS-style IVF where every dense pass is an exact int64 Arrow "
+        "GEMM: centroid assignment and the Lloyd recenter emit only "
+        "per-batch partials (map-side combine; K*D rows per batch), and "
+        "the nprobe=2 refine reuses the brute path's block kernel with "
+        "list_id as the shard key — per-list index blocks join probe "
+        "chunks, one BLAS matmul per grid cell, top-1 of per-list top-1s. "
+        "The displaced pair-row phrasing paid an interpreted HOF dot per "
+        "candidate plus a full window sort and measured 100-218 s at 20k "
+        "vectors vs 5.6 s here (the Catalyst pair survives as the "
+        "equivalence oracle in tests).",
+        registry.QUERIES["q39_ivf_ann"](spark, SF))
+
+    add("q16 MinHash+LSH dedup (carry-through verify)",
+        "Signature -> band buckets -> candidate pairs -> exact-Jaccard "
+        "verify, where shared_bands rides THROUGH the verify (no "
+        "pairs-x-pairs re-join: on a degenerate corpus the candidate set "
+        "is ~n^2/2 rows and re-joining it doubled the query) and the "
+        "intersection is size(array_intersect) over per-doc token arrays "
+        "on the pair row — whole-stage codegen, no pair re-aggregate, no "
+        "x-set-size fan-out; Catalyst's size gate broadcasts the array "
+        "dim while it fits and shuffle-joins beyond (measured 64 -> 20 s "
+        "at sf0.1).",
+        registry.QUERIES["q16_minhash_lsh_dedup"](spark, SF))
+
     add("q44 hill_v2 composite (sampling+signal+smoothing)",
         "Cumulative segment lengths and the per-sample segment locate are "
         "pure array expressions (no shuffle before the raster gather); the "
