@@ -131,6 +131,14 @@ def jaccard_pairs(sets: DataFrame, key: str = "shingle",
             .join(ta, "doc_a").join(tb, "doc_b")
             .withColumn("inter_cnt",
                         F.size(F.array_intersect("ta", "tb")).cast("long"))
+            # the nondeterministic barrier column keeps the >= 1 filter OUT
+            # of the join condition: pushed, it re-evaluates array_intersect
+            # per pair in the join (once in the condition, again in the
+            # project) — as a standalone Filter it runs once in whole-stage
+            # codegen (A/B at sf0.1, alternating: 22.6 -> 17.7 s; the q55
+            # folded-condition lesson, cheap-predicate edition).  `_mid` is
+            # dropped by the final select and never shuffled.
+            .withColumn("_mid", F.monotonically_increasing_id())
             .filter(F.col("inter_cnt") >= 1)
             .withColumn("union_cnt",
                         (F.size("ta") + F.size("tb")).cast("long")
