@@ -66,6 +66,14 @@ def test_jaccard_pairs_candidate_mode_matches_self_join(spark):
     via = {tuple(r) for r in
            dedup.jaccard_pairs(sets, key="tok", pairs=cand).collect()}
     assert via == full == {("a", "b", 2, 4, 500)}
+    # carry= threads per-pair constants through the verify (q16's
+    # shared_bands shape) and keeps them between the keys and the counts
+    candc = cand.withColumn("tag", F.length("doc_a") + F.length("doc_b"))
+    got = dedup.jaccard_pairs(sets, key="tok", pairs=candc,
+                              carry=("tag",)).collect()
+    assert [tuple(r) for r in got] == [("a", "b", 2, 2, 4, 500)]
+    assert got[0].__fields__ == ["doc_a", "doc_b", "tag", "inter_cnt",
+                                 "union_cnt", "jaccard_permille"]
 
 
 def test_line_samples_counts_and_midpoint(spark):
