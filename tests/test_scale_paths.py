@@ -124,6 +124,56 @@ def test_ivf_arrow_kernels_match_catalyst_pair(spark):
     assert key(got_stats) == key(ref_stats)
 
 
+def test_brute_gemm_topk_matches_pairwise_reference(spark):
+    """brute_force_topk's sharded block-GEMM must match an independent
+    per-pair reference with the same IEEE operand order on adversarial
+    inputs: zero vectors (masked), exact duplicates (cosine ties broken by
+    neighbor_id asc), negative components, and a shard/chunk grid that
+    splits the probes unevenly.  Every dot and norm is an exact integer
+    below 2^53, so float64 divide/sqrt/multiply are correctly rounded and
+    the two value trees are bit-identical."""
+    import math
+
+    import numpy as np
+
+    from osm_processing_pipeline_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(17)
+    n, dim, k = 40, 8, 3
+    E = rng.uniform(-2.0, 2.0, size=(n, dim))
+    E[7] = 0.0                      # zero vector: excluded on both sides
+    E[11] = E[3]                    # exact duplicate -> cos ties
+    E[23] = E[3]                    # triple: tie broken by smallest id
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in E[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+
+    got = sorted(map(tuple, sim.brute_force_topk(
+        emb, k, n_shards=4, n_chunks=3).collect()))
+
+    # independent reference: same quantization, same operand order
+    Q = np.floor(E.astype(np.float32).astype(np.float64) * sim.QIN
+                 ).astype(object)          # python ints: exact dots
+    nrm = [int(sum(int(x) * int(x) for x in Q[i])) for i in range(n)]
+    exp = []
+    for i in range(n):
+        if nrm[i] == 0:
+            continue
+        cands = []
+        for j in range(n):
+            if j == i or nrm[j] == 0:
+                continue
+            dt = int(sum(int(a) * int(b) for a, b in zip(Q[i], Q[j])))
+            cos = math.floor(
+                (np.float64(dt) / np.sqrt(np.float64(nrm[i])
+                                          * np.float64(nrm[j])))
+                * np.float64(1.0e9))
+            cands.append((-cos, j))
+        for r, (negcos, j) in enumerate(sorted(cands)[:k], start=1):
+            exp.append((i, r, j, -negcos))
+    assert got == sorted(exp)
+
+
 def test_sample_points_gather_is_one_to_one(spark):
     """q44's single-aggregate shape folds per-road constants into the
     post-gather aggregate, which is exactness-preserving ONLY because the
