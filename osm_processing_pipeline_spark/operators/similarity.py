@@ -379,7 +379,10 @@ def ivf_ann_top1(embeddings: DataFrame, n_lists: int = IVF_LISTS,
     20x to the brute GEMM (5 s) despite ~5x fewer dot products; the same
     refine as block GEMM is ~2 s.  ``n_lists`` stays 16 in the graded
     query (the DuckDB twin unrolls the training CTEs at K=16); a real
-    deployment scales K ~ sqrt(N), which this signature now admits."""
+    deployment scales K ~ sqrt(N) AND nprobe with it — measured at 20k
+    vectors: K=141 with nprobe still 2 probes 1.4% of the corpus and
+    recall@1 FALLS 0.381 -> 0.175 (vs brute q21), so the two knobs move
+    together (BENCH.md round-5 notes)."""
     cents = train_ivf_centroids(embeddings, n_lists)
     assigned = _assign_lists(
         _quantized(embeddings).select("vec_id", "qv"), cents)
