@@ -266,18 +266,21 @@ def _argmin2(cols):
     return best_j, sec_j
 
 
-def _assign_lists(q: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """(vec_id, list_id, probe2) — nearest + second-nearest centroid per
-    quantized vector, one exact int64 matmul per Arrow batch.  Identical
-    integers to the _score_cols/_argmin2 Catalyst pair (scores
-    c2_j - 2*dot < 2^47; np.argmin's first-occurrence tie = smallest j,
-    the masked second pass likewise), but vectorized — the HOF form is
-    CodegenFallback and walled q39's training/assign passes at 10x scale."""
+def _assign_lists(q: DataFrame, cents: list[list[int]],
+                  nprobe: int = 2) -> DataFrame:
+    """(vec_id, probes) — the ``nprobe`` nearest centroids per quantized
+    vector (probes[0] is the assignment list), one exact int64 matmul per
+    Arrow batch.  Identical integers to the _score_cols/_argmin2 Catalyst
+    pair (scores c2_j - 2*dot < 2^47; the stable argsort's first-occurrence
+    ties = smallest j at every rank, matching argmin + masked-argmin), but
+    vectorized — the HOF form is CodegenFallback and walled q39's
+    training/assign passes at 10x scale."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(cents, dtype=np.int64)
     c2 = (C * C).sum(axis=1)
+    np_ = min(nprobe, len(cents))
 
     def kern(batches):
         for pdf in batches:
@@ -285,16 +288,13 @@ def _assign_lists(q: DataFrame, cents: list[list[int]]) -> DataFrame:
                 continue
             Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
             S = c2[None, :] - 2 * (Q @ C.T)
-            best = S.argmin(axis=1)
-            S[np.arange(len(S)), best] = 1 << 62
-            sec = S.argmin(axis=1)
+            order = np.argsort(S, axis=1, kind="stable")[:, :np_]
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                "list_id": best.astype(np.int64),
-                "probe2": sec.astype(np.int64),
+                "probes": list(order.astype(np.int64)),
             })
 
-    return q.mapInPandas(kern, "vec_id long, list_id long, probe2 long")
+    return q.mapInPandas(kern, "vec_id long, probes array<long>")
 
 
 def _centroid_partials(q: DataFrame, cents: list[list[int]]) -> DataFrame:
@@ -359,7 +359,7 @@ def train_ivf_centroids(embeddings: DataFrame,
 
 
 def ivf_ann_top1(embeddings: DataFrame, n_lists: int = IVF_LISTS,
-                 n_chunks: int | None = None) -> DataFrame:
+                 n_chunks: int | None = None, nprobe: int = 2) -> DataFrame:
     """IVF ANN with TRAINED centroids: fixed-count Lloyd over the corpus
     builds the ``n_lists`` inverted lists (train_ivf_centroids); every
     vector is assigned to its nearest centroid, a query probes its top-2
@@ -380,12 +380,14 @@ def ivf_ann_top1(embeddings: DataFrame, n_lists: int = IVF_LISTS,
     refine as block GEMM is ~2 s.  ``n_lists`` stays 16 in the graded
     query (the DuckDB twin unrolls the training CTEs at K=16); a real
     deployment scales K ~ sqrt(N) AND nprobe with it — measured at 20k
-    vectors: K=141 with nprobe still 2 probes 1.4% of the corpus and
-    recall@1 FALLS 0.381 -> 0.175 (vs brute q21), so the two knobs move
-    together (BENCH.md round-5 notes)."""
+    vectors vs brute q21: K=141 with nprobe still 2 probes 1.4% of the
+    corpus and recall@1 FALLS 0.381 -> 0.175; with nprobe scaled to
+    16/32 it recovers to 0.560/0.749 (finer lists beat coarse at equal
+    candidate budget — BENCH.md round-5 notes)."""
     cents = train_ivf_centroids(embeddings, n_lists)
-    assigned = _assign_lists(
-        _quantized(embeddings).select("vec_id", "qv"), cents)
+    assigned = (_assign_lists(
+        _quantized(embeddings).select("vec_id", "qv"), cents, nprobe=nprobe)
+        .withColumn("list_id", F.col("probes")[0]))
     e = embeddings.select("vec_id", "embedding")
     asg = assigned.join(e, "vec_id")
     packed = F.collect_list(F.struct("vec_id", "embedding"))
@@ -395,7 +397,7 @@ def ivf_ann_top1(embeddings: DataFrame, n_lists: int = IVF_LISTS,
         n_chunks = max(1, min(spark.sparkContext.defaultParallelism, 8))
     probes = asg.select(
         "vec_id", "embedding",
-        F.explode(F.array(F.col("list_id"), F.col("probe2"))).alias("list_id"))
+        F.explode("probes").alias("list_id"))
     pchunks = (probes
                .groupBy("list_id", F.pmod("vec_id", F.lit(n_chunks)).alias("pc"))
                .agg(packed.alias("probe_items")))

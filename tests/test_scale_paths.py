@@ -108,7 +108,9 @@ def test_ivf_arrow_kernels_match_catalyst_pair(spark):
         [F.col(f"s{j}") for j in range(len(cents))])
     ref = (q.select("vec_id", *sim._score_cols(cents))
            .select("vec_id", best_j.alias("list_id"), sec_j.alias("probe2")))
-    got = sim._assign_lists(q, cents)
+    got = (sim._assign_lists(q, cents, nprobe=2)
+           .select("vec_id", F.col("probes")[0].alias("list_id"),
+                   F.col("probes")[1].alias("probe2")))
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(got) == key(ref)
 
